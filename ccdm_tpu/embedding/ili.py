@@ -1,0 +1,249 @@
+"""ILI (inverse label inference) embedding pipeline.
+
+TPU-native re-design of `CCDM_unified/label_embedding.py:212-859` and the
+training loops `:1199-1349` (train_resnet) / `:1352-1534` (train_mlp), plus
+the vanilla `train_net_for_label_embed.py:14-182`:
+
+1. Train a ResNet34 regressor x -> (y_hat, h) with MSE, SGD momentum 0.9,
+   weight decay 1e-4, lr 0.01 decayed 10x at [80,140] of 200 epochs.
+2. Freeze its h2y head; train an MLP y -> h so that h2y(mlp(y+noise)) = y+noise
+   (noise sigma 0.2 scalar / 0.05 multi-dim, `label_embedding.py:1440-1460`),
+   lr 0.01 decayed 10x at [150,250,350] of 500 epochs.
+3. Expose fn_y2h / fn_y2cov closures over the frozen MLP params — pure jax
+   functions safe inside a jitted train step.
+
+Both stages are jitted epochs over device-resident data; checkpoints go to
+<path>/embed_models via orbax with the reference's train-or-load discovery.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ccdm_tpu.models.resnet_embed import ModelY2Cov, ModelY2H, ResNetEmbed
+from ccdm_tpu.ops.image import normalize_images
+from ccdm_tpu.utils.ckpt import checkpoint_exists, load_checkpoint, save_checkpoint
+
+
+def _lr_schedule(lr_base: float, decay_epochs, steps_per_epoch: int, factor: float = 0.1):
+    boundaries = {int(e * steps_per_epoch): factor for e in decay_epochs}
+    return optax.piecewise_constant_schedule(lr_base, boundaries)
+
+
+def train_resnet_embed(
+    images_u8: np.ndarray,
+    labels_norm: np.ndarray,
+    dim_embed: int,
+    epochs: int = 200,
+    batch_size: int = 256,
+    lr_base: float = 0.01,
+    lr_decay_epochs=(80, 140),
+    weight_decay: float = 1e-4,
+    seed: int = 0,
+    log_every: int = 20,
+) -> dict:
+    """Stage-1: ResNet x->(y,h) regressor. Returns trained variables."""
+    labels2d = np.asarray(labels_norm, np.float32)
+    if labels2d.ndim == 1:
+        labels2d = labels2d[:, None]
+    n = len(images_u8)
+    label_dim = labels2d.shape[1]
+    batch_size = min(batch_size, n)
+    steps_per_epoch = max(n // batch_size, 1)
+
+    net = ResNetEmbed(dim_embed=dim_embed, label_dim=label_dim)
+    key = jax.random.PRNGKey(seed)
+    sample = jnp.zeros((2,) + images_u8.shape[1:], jnp.float32)
+    variables = net.init(key, sample, train=False)
+
+    sched = _lr_schedule(lr_base, lr_decay_epochs, steps_per_epoch)
+    tx = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(sched, momentum=0.9),
+    )
+    opt_state = tx.init(variables["params"])
+
+    images_dev = jax.device_put(np.asarray(images_u8))
+    labels_dev = jax.device_put(labels2d)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, k):
+        idx = jax.random.randint(k, (batch_size,), 0, n)
+        # reference normalizes embed-net inputs to [-1,1] (IMGs_dataset
+        # normalize option, utils.py:94-121)
+        x = normalize_images(images_dev[idx], to_neg_one_to_one=True)
+        y = labels_dev[idx]
+
+        def loss_fn(p):
+            (y_hat, _), updates = net.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return jnp.mean((y_hat - y) ** 2), updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        return params, updates["batch_stats"], opt_state, loss
+
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    for epoch in range(epochs):
+        for s in range(steps_per_epoch):
+            k = jax.random.fold_in(key, epoch * steps_per_epoch + s)
+            params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state, k)
+        if log_every and (epoch + 1) % log_every == 0:
+            print(f"\r [resnet_embed] epoch {epoch+1}/{epochs} loss {float(loss):.5f}")
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def train_label_mlp(
+    unique_labels_norm: np.ndarray,
+    resnet_variables: dict,
+    mlp_module,
+    dim_embed: int,
+    epochs: int = 500,
+    batch_size: int = 128,
+    lr_base: float = 0.01,
+    lr_decay_epochs=(150, 250, 350),
+    weight_decay: float = 1e-4,
+    noise_sigma: float = 0.2,
+    seed: int = 1,
+    log_every: int = 50,
+) -> dict:
+    """Stage-2: train mlp(y) to invert the frozen h2y head."""
+    labels = np.asarray(unique_labels_norm, np.float32).reshape(-1)
+    n = len(labels)
+    batch_size = min(batch_size, n)
+    steps_per_epoch = max(n // batch_size, 1)
+
+    key = jax.random.PRNGKey(seed)
+    variables = mlp_module.init(key, jnp.zeros((2,)))
+    sched = _lr_schedule(lr_base, lr_decay_epochs, steps_per_epoch)
+    tx = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(sched, momentum=0.9),
+    )
+    opt_state = tx.init(variables["params"])
+    labels_dev = jax.device_put(labels)
+
+    h2y_kernel = resnet_variables["params"]["h2y"]["kernel"]
+    h2y_bias = resnet_variables["params"]["h2y"]["bias"]
+
+    @jax.jit
+    def step(params, opt_state, k):
+        k_idx, k_noise = jax.random.split(k)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, n)
+        y = labels_dev[idx]
+        gamma = jax.random.normal(k_noise, y.shape) * noise_sigma
+        y_noised = jnp.clip(y + gamma, 0.0, 1.0)
+
+        def loss_fn(p):
+            h = mlp_module.apply({"params": p}, y_noised)
+            y_rec = jax.nn.relu(h @ h2y_kernel + h2y_bias)[:, 0]
+            return jnp.mean((y_rec - y_noised) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        return params, opt_state, loss
+
+    params = variables["params"]
+    for epoch in range(epochs):
+        for s in range(steps_per_epoch):
+            k = jax.random.fold_in(key, epoch * steps_per_epoch + s)
+            params, opt_state, loss = step(params, opt_state, k)
+        if log_every and (epoch + 1) % log_every == 0:
+            print(f"\r [label_mlp] epoch {epoch+1}/{epochs} loss {float(loss):.6f}")
+    return {"params": params}
+
+
+class LabelEmbed:
+    """Train-or-load the ILI pipeline; exposes fn_y2h / fn_y2cov closures
+    (interface seam of `label_embedding.py:212`, SURVEY.md §7.1-3)."""
+
+    def __init__(
+        self,
+        dataset,  # DatasetBundle
+        path: str,
+        dim_embed: int = 128,
+        y2h_type: str = "resnet",
+        y2cov_type: Optional[str] = None,
+        cov_dim: Optional[int] = None,
+        epochs_cnn: int = 200,
+        epochs_mlp: int = 500,
+        epochs_cnn_y2cov: int = 10,
+        epochs_mlp_y2cov: int = 500,
+        batch_size: int = 256,
+        seed: int = 0,
+    ):
+        self.dim_embed = dim_embed
+        embed_dir = os.path.join(path, "embed_models")
+        os.makedirs(embed_dir, exist_ok=True)
+
+        labels = np.asarray(dataset.labels_norm, np.float32)
+        label_dim = 1 if labels.ndim == 1 else labels.shape[1]
+        noise_sigma = 0.2 if label_dim == 1 else 0.05
+        uniq = np.unique(labels.reshape(len(labels), -1), axis=0)
+
+        # ---- y2h
+        tag = f"y2h_d{dim_embed}_e{epochs_cnn}_m{epochs_mlp}_seed{seed}"
+        if checkpoint_exists(embed_dir, tag):
+            stored = load_checkpoint(embed_dir, tag)
+            mlp_vars = stored["mlp"]
+        else:
+            resnet_vars = train_resnet_embed(
+                dataset.images, labels, dim_embed,
+                epochs=epochs_cnn, batch_size=batch_size, seed=seed,
+            )
+            mlp_vars = train_label_mlp(
+                uniq[:, 0] if label_dim == 1 else uniq.reshape(-1),
+                resnet_vars, ModelY2H(dim_embed), dim_embed,
+                epochs=epochs_mlp, noise_sigma=noise_sigma, seed=seed + 1,
+            )
+            save_checkpoint(embed_dir, tag, {"mlp": jax.device_get(mlp_vars)})
+        mlp = ModelY2H(dim_embed)
+        mlp_params = jax.device_put(mlp_vars)
+
+        def fn_y2h(y):
+            y = jnp.asarray(y, jnp.float32)
+            if y.ndim <= 1 or y.shape[-1] == 1:
+                return mlp.apply(mlp_params, y.reshape(-1))
+            # multi-dim: per-dim embed then mean-combine (label_embedding.py:875-1005)
+            per_dim = jnp.stack([mlp.apply(mlp_params, y[:, d]) for d in range(y.shape[1])])
+            return jnp.mean(per_dim, axis=0)
+
+        self.fn_y2h = fn_y2h
+
+        # ---- y2cov (optional)
+        self.fn_y2cov = None
+        if y2cov_type is not None:
+            assert cov_dim is not None
+            tag_cov = f"y2cov_d{cov_dim}_e{epochs_cnn_y2cov}_m{epochs_mlp_y2cov}_seed{seed}"
+            if y2cov_type == "resnet":
+                if checkpoint_exists(embed_dir, tag_cov):
+                    stored = load_checkpoint(embed_dir, tag_cov)
+                    cov_vars = stored["mlp"]
+                else:
+                    resnet_cov_vars = train_resnet_embed(
+                        dataset.images, labels, cov_dim,
+                        epochs=epochs_cnn_y2cov, batch_size=batch_size, seed=seed + 2,
+                    )
+                    cov_vars = train_label_mlp(
+                        uniq[:, 0] if label_dim == 1 else uniq.reshape(-1),
+                        resnet_cov_vars, ModelY2Cov(cov_dim), cov_dim,
+                        epochs=epochs_mlp_y2cov, noise_sigma=noise_sigma, seed=seed + 3,
+                    )
+                    save_checkpoint(embed_dir, tag_cov, {"mlp": jax.device_get(cov_vars)})
+                cov_mlp = ModelY2Cov(cov_dim)
+                cov_params = jax.device_put(cov_vars)
+                self.fn_y2cov = lambda y: cov_mlp.apply(cov_params, jnp.asarray(y, jnp.float32).reshape(-1))
+            else:
+                from ccdm_tpu.embedding.analytic import make_fn_y2cov
+                self.fn_y2cov = make_fn_y2cov(cov_dim, y2cov_type, label_dim)

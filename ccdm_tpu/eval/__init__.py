@@ -1,0 +1,10 @@
+from ccdm_tpu.eval.metrics import (
+    frechet_distance,
+    extract_features,
+    cal_FID,
+    cal_labelscore,
+    predict_class_labels,
+    compute_entropy,
+    inception_score,
+)
+from ccdm_tpu.eval.sfid import sliding_window_eval

@@ -1,0 +1,140 @@
+"""Evaluation metrics: FID, Label Score, Diversity entropy, Inception Score.
+
+TPU-native re-design of `CCDM_vanilla/.../eval_metrics.py:43-271` and
+`utils.py:125-180`: feature extraction runs as a jitted batched apply on
+device; the Frechet algebra stays in f64 numpy/scipy on host (matrix sqrtm
+is tiny — 512x512 — and precision-sensitive).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import linalg
+
+
+def frechet_distance(Xr: np.ndarray, Xg: np.ndarray, eps: float = 1e-10) -> float:
+    """FID between feature sets [N,d] (eval_metrics.py:43-70)."""
+    mu_r, mu_g = Xr.mean(axis=0), Xg.mean(axis=0)
+    diff = mu_r - mu_g
+    cov_r = np.cov(Xr.T)
+    cov_g = np.cov(Xg.T)
+    covmean, _ = linalg.sqrtm(cov_r.dot(cov_g), disp=False)
+    covmean = covmean.real
+    if not np.isfinite(covmean).all():
+        offset = np.eye(cov_r.shape[0]) * eps
+        covmean = linalg.sqrtm((cov_r + offset).dot(cov_g + offset)).real
+    return float(diff.dot(diff) + np.trace(cov_r + cov_g - 2 * covmean))
+
+
+def _batched_apply(fn: Callable, images: np.ndarray, batch_size: int) -> np.ndarray:
+    """Run a jitted per-batch fn over images with fixed-shape padding."""
+    n = len(images)
+    batch_size = min(batch_size, n)
+    outs = []
+    done = 0
+    while done < n:
+        chunk = images[done:done + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+        out = np.asarray(fn(jnp.asarray(chunk)))
+        outs.append(out[: len(out) - pad or None])
+        done += batch_size
+    return np.concatenate(outs, axis=0)[:n]
+
+
+def extract_features(apply_fn: Callable, variables: dict, images: np.ndarray,
+                     batch_size: int = 200, normalize: bool = True) -> np.ndarray:
+    """images: [N,H,W,C] uint8 or [-1,1] floats -> [N,d] features."""
+
+    @jax.jit
+    def fn(x):
+        if normalize:
+            x = x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        out = apply_fn(variables, x, train=False)
+        return out[1] if isinstance(out, tuple) else out
+
+    return _batched_apply(fn, images, batch_size)
+
+
+def cal_FID(apply_fn: Callable, variables: dict, images_real: np.ndarray,
+            images_fake: np.ndarray, batch_size: int = 200,
+            norm_img: bool = True) -> float:
+    """FID from raw image sets via the given feature net
+    (eval_metrics.py:78-146)."""
+    Xr = extract_features(apply_fn, variables, images_real, batch_size, norm_img)
+    Xg = extract_features(apply_fn, variables, images_fake, batch_size, norm_img)
+    return frechet_distance(Xr, Xg, eps=1e-6)
+
+
+def cal_labelscore(apply_fn: Callable, variables: dict, images: np.ndarray,
+                   labels_assigned: np.ndarray, min_label_before_shift: float,
+                   max_label_after_shift: float, batch_size: int = 200,
+                   norm_img: bool = True) -> Tuple[float, float]:
+    """Mean/std |y_pred - y_assigned| after denormalization
+    (eval_metrics.py:157-207). labels_assigned are NORMALIZED."""
+
+    @jax.jit
+    def fn(x):
+        if norm_img:
+            x = x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        out = apply_fn(variables, x, train=False)
+        pred = out[0] if isinstance(out, tuple) else out
+        return pred.reshape(-1)
+
+    preds = _batched_apply(fn, images, batch_size).reshape(-1)
+    denorm = lambda y: y * max_label_after_shift - abs(min_label_before_shift)
+    err = np.abs(denorm(preds) - denorm(np.asarray(labels_assigned).reshape(-1)))
+    return float(err.mean()), float(err.std())
+
+
+def predict_class_labels(apply_fn: Callable, variables: dict, images: np.ndarray,
+                         batch_size: int = 200, norm_img: bool = True) -> np.ndarray:
+    """Argmax class predictions (utils.py:131-160 semantics)."""
+
+    @jax.jit
+    def fn(x):
+        if norm_img:
+            x = x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        out = apply_fn(variables, x, train=False)
+        logits = out[0] if isinstance(out, tuple) else out
+        return jnp.argmax(logits, axis=-1)
+
+    return _batched_apply(fn, images, batch_size)
+
+
+def compute_entropy(labels: np.ndarray, base: Optional[float] = None) -> float:
+    """Shannon entropy of a label histogram (utils.py:125-129)."""
+    _, counts = np.unique(labels, return_counts=True)
+    p = counts / counts.sum()
+    base = base if base is not None else np.e
+    return float(-(p * np.log(p) / np.log(base)).sum())
+
+
+def inception_score(apply_fn: Callable, variables: dict, images: np.ndarray,
+                    num_classes: int, batch_size: int = 32, splits: int = 1,
+                    norm_img: bool = True) -> Tuple[float, float]:
+    """Entropy-based IS with the eval classifier as backbone
+    (eval_metrics.py:215-271)."""
+
+    @jax.jit
+    def fn(x):
+        if norm_img:
+            x = x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        out = apply_fn(variables, x, train=False)
+        logits = out[0] if isinstance(out, tuple) else out
+        return jax.nn.softmax(logits, axis=-1)
+
+    preds = _batched_apply(fn, images, batch_size)
+    n = len(preds)
+    scores = []
+    for k in range(splits):
+        part = preds[k * (n // splits):(k + 1) * (n // splits)]
+        py = part.mean(axis=0)
+        kl = part * (np.log(part + 1e-12) - np.log(py + 1e-12)[None, :])
+        scores.append(np.exp(kl.sum(axis=1).mean()))
+    return float(np.mean(scores)), float(np.std(scores))

@@ -1,0 +1,108 @@
+"""Sliding-window SFID / Label-Score / Diversity protocol.
+
+Transcribed from the vanilla eval block
+(`CCDM_vanilla/RC-49/RC-49_64x64/CCGM/CCDM/main.py:562-613`): windows of
+radius FID_radius slide over the RAW label range; per center, FID between the
+real/fake images whose labels fall in the window, Label Score of the fakes,
+and Shannon entropy of the predicted class labels; report per-center arrays +
+mean/std, npz-dumpable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+from ccdm_tpu.eval.metrics import (
+    cal_FID,
+    cal_labelscore,
+    compute_entropy,
+    predict_class_labels,
+)
+
+
+@dataclasses.dataclass
+class SlidingWindowResult:
+    centers: np.ndarray
+    fids: np.ndarray
+    labelscores: np.ndarray
+    entropies: np.ndarray
+    num_real: np.ndarray
+
+    @property
+    def sfid(self):  # (mean, std)
+        return float(np.nanmean(self.fids)), float(np.nanstd(self.fids))
+
+    @property
+    def ls(self):
+        return float(np.nanmean(self.labelscores)), float(np.nanstd(self.labelscores))
+
+    @property
+    def diversity(self):
+        return float(np.nanmean(self.entropies)), float(np.nanstd(self.entropies))
+
+    def save_npz(self, path: str) -> None:
+        np.savez(path, fids=self.fids, labelscores=self.labelscores,
+                 entropies=self.entropies, nrealimgs=self.num_real,
+                 centers=self.centers)
+
+
+def sliding_window_eval(
+    real_images: np.ndarray,  # uint8 NHWC, RAW labels
+    real_labels: np.ndarray,
+    fake_images: np.ndarray,
+    fake_labels: np.ndarray,  # RAW (unnormalized)
+    fn_norm_labels: Callable,
+    fid_apply: Callable, fid_variables: dict,
+    ls_apply: Callable, ls_variables: dict,
+    div_apply: Optional[Callable] = None, div_variables: Optional[dict] = None,
+    fid_radius: float = 0.0,
+    num_centers: int = -1,
+    centers: Optional[np.ndarray] = None,
+    max_label_after_shift: float = 1.0,
+    min_label_before_shift: float = 0.0,
+    batch_size: int = 200,
+    verbose: bool = True,
+) -> SlidingWindowResult:
+    real_labels = np.asarray(real_labels).reshape(-1)
+    fake_labels = np.asarray(fake_labels).reshape(-1)
+
+    if centers is None:
+        if num_centers <= 0 and fid_radius == 0:
+            centers = np.sort(np.unique(fake_labels))
+        else:
+            start = real_labels.min() + fid_radius
+            stop = real_labels.max() - fid_radius
+            centers = np.linspace(start, stop, max(num_centers, 1))
+
+    n = len(centers)
+    fids = np.full(n, np.nan)
+    lss = np.full(n, np.nan)
+    ents = np.full(n, np.nan)
+    n_real = np.zeros(n)
+
+    for i, center in enumerate(centers):
+        lo, hi = center - fid_radius, center + fid_radius
+        idx_r = np.where((real_labels >= lo) & (real_labels <= hi))[0]
+        idx_f = np.where((fake_labels >= lo) & (fake_labels <= hi))[0]
+        n_real[i] = len(idx_r)
+        if len(idx_r) < 2 or len(idx_f) < 2:
+            continue
+        fids[i] = cal_FID(fid_apply, fid_variables, real_images[idx_r],
+                          fake_images[idx_f], batch_size)
+        lss[i], _ = cal_labelscore(
+            ls_apply, ls_variables, fake_images[idx_f],
+            fn_norm_labels(fake_labels[idx_f]),
+            min_label_before_shift, max_label_after_shift, batch_size,
+        )
+        if div_apply is not None:
+            pred = predict_class_labels(div_apply, div_variables,
+                                        fake_images[idx_f], batch_size)
+            ents[i] = compute_entropy(pred)
+        if verbose:
+            print(f"\r Center:{center}; Real:{len(idx_r)}; Fake:{len(idx_f)}; "
+                  f"FID:{fids[i]:.3f}; LS:{lss[i]:.3f}; ET:{ents[i]:.3f}.")
+
+    return SlidingWindowResult(np.asarray(centers), fids, lss, ents, n_real)

@@ -1,0 +1,238 @@
+"""Training + sampling entry point (reference `CCDM_unified/main.py` parity).
+
+Flow (ref main.py:47-594): parse flags -> output dirs + setting_info.txt ->
+load dataset -> vicinal hyperparams (inside Trainer) -> label embedding ->
+build denoiser -> GaussianDiffusion -> Trainer (+resume) -> train ->
+per-eval-label sampling with restartable gzip-6 h5 dumps incl. sample_time_i
+(ref main.py:483-594) and 36-image PNG grids.
+
+Run:  python -m ccdm_tpu.main --data_name RC-49 --data_path ... --niters 50000 ...
+"""
+
+from __future__ import annotations
+
+import gc
+import os
+import timeit
+
+import numpy as np
+
+from ccdm_tpu.opts import parse_opts, parse_channel_mult
+
+
+def get_eval_labels(bundle, args) -> np.ndarray:
+    """Eval label grid by eval_mode (vanilla opts.py:74-88 semantics):
+    1: unique train labels; 2: unique labels of the full raw set;
+    3: unseen (raw-set labels not in the train subset); 4: linspace grid."""
+    train_unique = np.sort(np.unique(bundle.labels_raw))
+    if args.eval_mode == 1:
+        return train_unique
+    all_unique = (
+        np.sort(np.unique(bundle.eval_labels_raw))
+        if bundle.eval_labels_raw is not None else train_unique
+    )
+    if args.eval_mode == 2:
+        return all_unique
+    if args.eval_mode == 3:
+        unseen = np.setdiff1d(all_unique, train_unique)
+        return unseen if len(unseen) else all_unique
+    num = args.FID_num_centers if args.FID_num_centers > 0 else len(all_unique)
+    return np.linspace(all_unique.min(), all_unique.max(), num)
+
+
+def build_model(args, image_size: int, channels: int):
+    from ccdm_tpu.models import Unet, ViT
+    import jax.numpy as jnp
+
+    mults = parse_channel_mult(args.channel_mult)
+    dtype = jnp.bfloat16 if args.train_amp else jnp.float32
+    if args.architecture == "vit":
+        return ViT(dim=args.model_channels, dim_mults=mults, in_channels=channels,
+                   attn_heads=args.num_heads, dtype=dtype)
+    return Unet(dim=args.model_channels, dim_mults=mults, in_channels=channels,
+                attn_heads=args.num_heads, attn_dim_head=args.attn_dim_head, dtype=dtype)
+
+
+def main(argv=None):
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from ccdm_tpu.data import load_dataset
+    from ccdm_tpu.diffusion import DiffusionConfig, GaussianDiffusion
+    from ccdm_tpu.embedding import make_fn_y2h, make_fn_y2cov
+    from ccdm_tpu.training import Trainer, TrainerConfig
+    from ccdm_tpu.utils.ckpt import checkpoint_exists
+    from ccdm_tpu.utils.viz import save_image_grid
+
+    args = parse_opts(argv)
+    np.random.seed(args.seed)
+
+    # output dirs + args dump (ref main.py:78-86)
+    setting_folder = os.path.join(
+        args.root_path, "output", f"{args.data_name}_{args.image_size}", args.setting_name
+    )
+    os.makedirs(setting_folder, exist_ok=True)
+    results_folder = os.path.join(setting_folder, "results")
+    os.makedirs(results_folder, exist_ok=True)
+    with open(os.path.join(setting_folder, "setting_info.txt"), "a") as f:
+        f.write("\n" + "=" * 99 + "\n")
+        print(args, file=f)
+
+    # dataset
+    ds_kwargs = dict(image_size=args.image_size)
+    if args.data_name == "RC-49":
+        ds_kwargs.update(min_label=args.min_label, max_label=args.max_label,
+                         max_num_img_per_label=args.max_num_img_per_label,
+                         data_split=args.data_split)
+    elif args.data_name == "UTKFace":
+        ds_kwargs.update(min_label=args.min_label, max_label=args.max_label,
+                         max_num_img_per_label=args.max_num_img_per_label,
+                         num_img_per_label_after_replica=args.num_img_per_label_after_replica)
+    elif args.data_name == "SteeringAngle":
+        ds_kwargs.update(min_label=args.min_label, max_label=args.max_label,
+                         max_num_img_per_label=args.max_num_img_per_label)
+    elif args.data_name == "Cell200":
+        ds_kwargs.update(min_label=args.min_label, max_label=args.max_label,
+                         stepsize=args.stepsize, num_imgs_per_label=args.num_imgs_per_label)
+    else:  # synthetic
+        ds_kwargs.update(channels=args.num_channels)
+    bundle = load_dataset(args.data_name, args.data_path, **ds_kwargs)
+    print(f"\n {args.data_name}: {len(bundle.images)} train images, "
+          f"{bundle.image_size}^2 x{bundle.channels}, label_dim={bundle.label_dim}")
+
+    # label embedding
+    if args.y2h_embed_type == "resnet":
+        from ccdm_tpu.embedding.ili import LabelEmbed
+        le = LabelEmbed(bundle, setting_folder, dim_embed=args.dim_embed,
+                        y2h_type="resnet",
+                        y2cov_type=args.y2cov_embed_type if args.use_Hy else None,
+                        cov_dim=bundle.channels * bundle.image_size**2,
+                        epochs_cnn=args.epoch_cnn_embed, epochs_mlp=args.epoch_net_y2h,
+                        batch_size=args.batch_size_embed, seed=args.seed)
+        fn_y2h = le.fn_y2h
+        fn_y2cov = le.fn_y2cov if args.use_Hy else None
+    else:
+        fn_y2h = make_fn_y2h(args.dim_embed, args.y2h_embed_type, bundle.label_dim)
+        fn_y2cov = (
+            make_fn_y2cov(bundle.channels * bundle.image_size**2,
+                          args.y2cov_embed_type, bundle.label_dim)
+            if args.use_Hy else None
+        )
+
+    # denoiser + diffusion
+    model = build_model(args, bundle.image_size, bundle.channels)
+    key = jax.random.PRNGKey(args.seed)
+    variables = model.init(
+        key,
+        jnp.zeros((2, bundle.image_size, bundle.image_size, bundle.channels)),
+        jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, args.dim_embed)),
+        None,
+        train=False,
+    )
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+    print(f" model params: {n_params/1e6:.2f}M")
+
+    dcfg = DiffusionConfig(
+        image_size=bundle.image_size,
+        channels=bundle.channels,
+        timesteps=args.train_timesteps,
+        sampling_timesteps=args.sample_timesteps,
+        objective=args.pred_objective,
+        beta_schedule=args.beta_schedule,
+        ddim_sampling_eta=args.ddim_eta,
+        cond_drop_prob=args.cond_drop_prob,
+        use_Hy=args.use_Hy,
+        vicinity_type=args.vicinity_type,
+        distance=args.distance,
+        vector_type=args.vector_type,
+        num_projections=args.num_projections,
+    )
+    diffusion = GaussianDiffusion(model.apply, dcfg, fn_y2cov=fn_y2cov)
+
+    # visual grid labels: 9 quantiles x nrow repeats (ref main.py:418-424 spirit)
+    uniq = np.sort(np.unique(bundle.labels_norm.reshape(len(bundle.labels_norm), -1)[:, 0]))
+    y_visual = np.repeat(np.quantile(uniq, np.linspace(0.05, 0.95, 6)), 6).astype(np.float32)
+
+    tcfg = TrainerConfig(
+        data_name=bundle.name,
+        train_batch_size=args.train_batch_size,
+        gradient_accumulate_every=args.gradient_accumulate_every,
+        train_lr=args.train_lr,
+        train_num_steps=args.niters,
+        sample_every=args.sample_every,
+        save_every=args.save_every,
+        results_folder=results_folder,
+        vicinity_type=args.vicinity_type,
+        kappa=args.kappa,
+        kernel_sigma=args.kernel_sigma,
+        nonzero_soft_weight_threshold=args.nonzero_soft_weight_threshold,
+        vector_type=args.vector_type,
+        num_projections=args.num_projections,
+        distance=args.distance,
+        hyperparameter=args.hyperparameter,
+        percentile=args.percentile,
+        y_visual=y_visual,
+        cond_scale_visual=args.sample_cond_scale,
+        sample_timesteps_visual=min(args.sample_timesteps, 250),
+    )
+    trainer = Trainer(diffusion, variables, bundle.images, bundle.labels_norm, tcfg)
+    print(f" sigma_delta={trainer.sigma_delta}, kappa={trainer.kappa}")
+
+    if args.resume_niter > 0 and checkpoint_exists(results_folder, args.resume_niter):
+        trainer.load(args.resume_niter)
+        print(f" resumed from milestone {args.resume_niter}")
+
+    trainer.train(fn_y2h)
+    trainer.save(args.niters)
+
+    # ---------------- per-eval-label sampling + h5 dump (main.py:483-594)
+    eval_labels = get_eval_labels(bundle, args)
+    num_eval = len(eval_labels)
+    print(f"\n Start sampling {args.nfake_per_label} fakes/label for {num_eval} labels >>>")
+
+    dump_folder = os.path.join(
+        results_folder,
+        f"fake_data_niters{args.niters}_nfake{int(args.nfake_per_label*num_eval)}"
+        f"_{args.sampler}_sampstep{args.sample_timesteps}",
+    )
+    os.makedirs(dump_folder, exist_ok=True)
+
+    total_time = 0.0
+    for i, curr_label in enumerate(eval_labels):
+        fp = os.path.join(dump_folder, f"{curr_label}.h5")
+        if not os.path.isfile(fp):
+            fake_labels_i = curr_label * np.ones(args.nfake_per_label)
+            start = timeit.default_timer()
+            fake_images_i, _ = trainer.sample_given_labels(
+                given_labels=bundle.fn_normalize(fake_labels_i),
+                fn_y2h=fn_y2h,
+                batch_size=args.samp_batch_size,
+                denorm=True, to_numpy=True,
+                sampler=args.sampler,
+                cond_scale=args.sample_cond_scale,
+                sample_timesteps=args.sample_timesteps,
+                ddim_eta=args.ddim_eta,
+            )
+            sample_time_i = timeit.default_timer() - start
+            with h5py.File(fp, "w") as f:
+                f.create_dataset("fake_images_i", data=fake_images_i, dtype="uint8",
+                                 compression="gzip", compression_opts=6)
+                f.create_dataset("fake_labels_i", data=fake_labels_i, dtype="float")
+                f.create_dataset("sample_time_i", data=np.array([sample_time_i]), dtype="float")
+            save_image_grid(fake_images_i[:36].astype(np.float32) / 255.0,
+                            os.path.join(dump_folder, f"sample_{curr_label}.png"), nrow=6)
+        else:
+            with h5py.File(fp, "r") as f:
+                sample_time_i = float(f["sample_time_i"][0])
+        total_time += sample_time_i
+        print(f"\r [{i+1}/{num_eval}] label {curr_label}: {sample_time_i:.2f}s "
+              f"(total {total_time:.2f}s)")
+        gc.collect()
+
+    print(f"Sampling finished; Time elapses: {total_time}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Shared flax building blocks for the denoiser networks.
+
+TPU-native re-design of `CCDM_unified/models/unet.py:64-240` (helper modules)
+with NHWC layout throughout: channels sit on the TPU lane dimension, convs map
+straight onto the MXU, and attention works on [B, N, H, D] token layouts.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class RMSNorm(nn.Module):
+    """Channelwise RMSNorm with learned gain.
+
+    Matches `models/unet.py:83-89`: x / ||x||_2(channel) * g * sqrt(C), which
+    equals the classic x / rms(x) * g. Channel axis is last (NHWC).
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        g = self.param("g", nn.initializers.ones, (self.dim,))
+        inv = jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + 1e-12)
+        return x * inv * g
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Transformer-style sinusoidal embedding of (timestep) scalars.
+
+    Matches `models/unet.py:102-115`: half sin, half cos, geometric
+    frequencies with base 10000.
+    """
+
+    dim: int
+
+    def __call__(self, t: jax.Array) -> jax.Array:
+        t = t.reshape(-1).astype(jnp.float32)
+        half = self.dim // 2
+        freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1)))
+        args = t[:, None] * freqs[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class ConvBlock(nn.Module):
+    """conv3x3 -> RMSNorm -> optional FiLM(scale,shift) -> SiLU.
+
+    Matches `models/unet.py:136-152`.
+    """
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, scale_shift: Optional[Tuple[jax.Array, jax.Array]] = None) -> jax.Array:
+        x = nn.Conv(self.dim_out, (3, 3), padding=1, name="proj")(x)
+        x = RMSNorm(self.dim_out, name="norm")(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1.0) + shift
+        return nn.silu(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two ConvBlocks with FiLM injection of concat(time_emb, cond_emb).
+
+    Matches `models/unet.py:154-187`: tc_mlp = SiLU -> Linear -> split into
+    (scale, shift) applied in block1 only; 1x1 residual projection when the
+    channel count changes.
+    """
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, t_emb: jax.Array, c_emb: Optional[jax.Array] = None) -> jax.Array:
+        tc = t_emb if c_emb is None else jnp.concatenate([t_emb, c_emb], axis=-1)
+        tc = nn.Dense(self.dim_out * 2, name="tc_mlp")(nn.silu(tc))
+        scale, shift = jnp.split(tc[:, None, None, :], 2, axis=-1)
+
+        h = ConvBlock(self.dim_out, name="block1")(x, (scale, shift))
+        h = ConvBlock(self.dim_out, name="block2")(h)
+
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), name="res_conv")(x)
+        return h + x
+
+
+class LinearAttention(nn.Module):
+    """Linear (efficiency) attention over the spatial map.
+
+    Matches `models/unet.py:189-216`: softmax(q over per-head channel dim),
+    softmax(k over spatial dim), two einsum contractions, 1x1 out conv
+    followed by RMSNorm.
+    """
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, hh, ww, c = x.shape
+        n = hh * ww
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
+
+        q = jax.nn.softmax(q, axis=-1) * (self.dim_head**-0.5)
+        k = jax.nn.softmax(k, axis=1)
+
+        # context[b,h,d,e] = sum_n k[b,n,h,d] v[b,n,h,e]
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        # out[b,n,h,e] = sum_d context[b,h,d,e] q[b,n,h,d]
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(b, hh, ww, hidden)
+        out = nn.Conv(self.dim, (1, 1), name="to_out")(out)
+        return RMSNorm(self.dim, name="out_norm")(out)
+
+
+class Attention(nn.Module):
+    """Full softmax attention over the spatial map (mid-block).
+
+    Matches `models/unet.py:218-240`. Attention math runs in f32 regardless
+    of the activation dtype so softmax stays stable in bf16 runs.
+    """
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, hh, ww, c = x.shape
+        n = hh * ww
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
+
+        q = q.astype(jnp.float32) * (self.dim_head**-0.5)
+        sim = jnp.einsum("bihd,bjhd->bhij", q, k.astype(jnp.float32))
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v.astype(jnp.float32)).astype(x.dtype)
+        out = out.reshape(b, hh, ww, hidden)
+        return nn.Conv(self.dim, (1, 1), name="to_out")(out)
+
+
+class PreNormResidual(nn.Module):
+    """x + fn(RMSNorm(x)) — matches Residual(PreNorm(...)) at unet.py:66-99."""
+
+    dim: int
+    fn: Callable
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return x + self.fn(RMSNorm(self.dim, name="norm")(x))
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x upsample in NHWC via broadcast-reshape (no gather)."""
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class Upsample(nn.Module):
+    """nearest 2x + conv3x3 (`models/unet.py:74-78`)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(self.dim_out, (3, 3), padding=1, name="conv")(upsample_nearest_2x(x))
+
+
+class Downsample(nn.Module):
+    """conv4x4 stride2 pad1 (`models/unet.py:80-81`)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(self.dim_out, (4, 4), strides=2, padding=1, name="conv")(x)
+
+
+def null_cond_init(key: jax.Array, shape: Sequence[int], dtype=jnp.float32) -> jax.Array:
+    """Trainable null-condition embedding initialized as -|N(0,1)|
+    (`models/unet.py:305`)."""
+    return -jnp.abs(jax.random.normal(key, shape, dtype))

@@ -1,0 +1,138 @@
+"""CLI flag surface — names preserved from the reference.
+
+Union of the unified tree's flags (`CCDM_unified/opts.py:4-212`) and the
+vanilla tree's eval surface (`CCDM_vanilla/.../opts.py:3-102`), with
+`--threshold_type {hard,soft}` accepted as an alias for `--vicinity_type
+{hv,sv}` to resolve the fork's script/CLI mismatch (SURVEY.md §2.1 defects).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_opts(argv=None):
+    parser = argparse.ArgumentParser()
+
+    # Overall
+    parser.add_argument("--root_path", type=str, default="./")
+    parser.add_argument("--data_name", type=str, default="synthetic",
+                        choices=["UTKFace", "RC-49", "Cell200", "SteeringAngle", "synthetic"])
+    parser.add_argument("--data_path", type=str, default="./datasets")
+    parser.add_argument("--eval_ckpt_path", type=str, default="./")
+    parser.add_argument("--seed", type=int, default=111)
+    parser.add_argument("--num_workers", type=int, default=0)
+    parser.add_argument("--setting_name", type=str, default="Setup1")
+
+    # Sliced-CCDM extensions
+    parser.add_argument("--architecture", type=str, default="unet", choices=["unet", "vit"])
+    parser.add_argument("--label_embed", type=str, default="ccdm2", choices=["ccdm1", "ccdm2", "random"])
+    parser.add_argument("--vicinity_type", type=str, default=None,
+                        choices=["shv", "ssv", "hv", "sv", "none"])
+    parser.add_argument("--threshold_type", type=str, default=None, choices=["hard", "soft"],
+                        help="vanilla-tree alias: hard->hv, soft->sv")
+    parser.add_argument("--distance", type=str, default="l2", choices=["l1", "l2", "cosine"])
+    parser.add_argument("--vector_type", type=str, default="gaussian",
+                        choices=["gaussian", "rademacher", "sphere"])
+    parser.add_argument("--hyperparameter", type=str, default="rule_of_thumb",
+                        choices=["rule_of_thumb", "percentile"])
+    parser.add_argument("--adaptive_slicing", action="store_true", default=False)
+    parser.add_argument("--label_dim", type=int, default=1)
+    parser.add_argument("--percentile", type=float, default=5.0)
+    parser.add_argument("--num_projections", type=int, default=1)
+    parser.add_argument("--dim_combination", type=str, default="mean",
+                        choices=["mean", "weighted", "attention", "cross"])
+
+    # Dataset
+    parser.add_argument("--min_label", type=float, default=0.0)
+    parser.add_argument("--max_label", type=float, default=90.0)
+    parser.add_argument("--num_channels", type=int, default=3)
+    parser.add_argument("--image_size", type=int, default=64)
+    parser.add_argument("--max_num_img_per_label", type=int, default=int(1e30))
+    parser.add_argument("--num_img_per_label_after_replica", type=int, default=0)
+    parser.add_argument("--data_split", type=str, default="train", choices=["train", "all"])
+    parser.add_argument("--stepsize", type=int, default=2, help="Cell-200 label stride")
+    parser.add_argument("--num_imgs_per_label", type=int, default=10, help="Cell-200 per-label subset")
+
+    # Model config
+    parser.add_argument("--model_channels", type=int, default=64)
+    parser.add_argument("--num_res_blocks", type=int, default=2)
+    parser.add_argument("--num_heads", type=int, default=4)
+    parser.add_argument("--num_groups", type=int, default=8)
+    parser.add_argument("--attention_resolutions", type=str, default="16_32")
+    parser.add_argument("--channel_mult", type=str, default="1_2_4_8")
+    parser.add_argument("--attn_dim_head", type=int, default=32)
+    parser.add_argument("--cond_drop_prob", type=float, default=0.1)
+
+    # Training
+    parser.add_argument("--pred_objective", type=str, default="pred_noise",
+                        choices=["pred_noise", "pred_x0", "pred_v"])
+    parser.add_argument("--niters", type=int, default=10)
+    parser.add_argument("--resume_niter", type=int, default=0)
+    parser.add_argument("--train_timesteps", type=int, default=1000)
+    parser.add_argument("--train_batch_size", type=int, default=16)
+    parser.add_argument("--train_lr", type=float, default=1e-4)
+    parser.add_argument("--train_amp", action="store_true", default=False,
+                        help="bf16 activations on TPU (no loss scaling needed)")
+    parser.add_argument("--gradient_accumulate_every", type=int, default=1)
+    parser.add_argument("--beta_schedule", type=str, default="cosine", choices=["cosine", "linear"])
+    parser.add_argument("--sample_every", type=int, default=1000)
+    parser.add_argument("--save_every", type=int, default=10000)
+
+    # Label embedding
+    parser.add_argument("--y2h_embed_type", type=str, default="sinusoidal",
+                        choices=["resnet", "sinusoidal", "gaussian"])
+    parser.add_argument("--y2cov_embed_type", type=str, default="sinusoidal",
+                        choices=["resnet", "sinusoidal", "gaussian"])
+    parser.add_argument("--use_Hy", action="store_true", default=False)
+    parser.add_argument("--net_embed", type=str, default="ResNet34_embed")
+    parser.add_argument("--epoch_cnn_embed", type=int, default=200)
+    parser.add_argument("--resumeepoch_cnn_embed", type=int, default=0)
+    parser.add_argument("--epoch_net_y2h", type=int, default=500)
+    parser.add_argument("--dim_embed", type=int, default=128)
+    parser.add_argument("--batch_size_embed", type=int, default=256)
+    parser.add_argument("--net_embed_y2cov", type=str, default="ResNet34_embed_y2cov")
+    parser.add_argument("--epoch_cnn_embed_y2cov", type=int, default=10)
+    parser.add_argument("--resumeepoch_cnn_embed_y2cov", type=int, default=0)
+    parser.add_argument("--epoch_net_y2cov", type=int, default=500)
+    parser.add_argument("--batch_size_embed_y2cov", type=int, default=256)
+
+    # Vicinal loss
+    parser.add_argument("--kernel_sigma", type=float, default=-1.0)
+    parser.add_argument("--kappa", type=float, default=-1.0)
+    parser.add_argument("--nonzero_soft_weight_threshold", type=float, default=1e-3)
+
+    # Sampling
+    parser.add_argument("--sampler", type=str, default="ddim", choices=["ddim", "ddpm"])
+    parser.add_argument("--sample_timesteps", type=int, default=250)
+    parser.add_argument("--sample_cond_scale", type=float, default=1.5)
+    parser.add_argument("--ddim_eta", type=float, default=0.0)
+    parser.add_argument("--nfake_per_label", type=int, default=200)
+    parser.add_argument("--samp_batch_size", type=int, default=100)
+    parser.add_argument("--dump_fake_data", action="store_true", default=False)
+
+    # Evaluation surface (vanilla opts.py:74-102)
+    parser.add_argument("--comp_FID", action="store_true", default=False)
+    parser.add_argument("--eval_mode", type=int, default=2, choices=[1, 2, 3, 4])
+    parser.add_argument("--FID_radius", type=float, default=0)
+    parser.add_argument("--FID_num_centers", type=int, default=-1)
+    parser.add_argument("--dump_fake_for_NIQE", action="store_true", default=False)
+    parser.add_argument("--niqe_dump_path", type=str, default="None")
+    parser.add_argument("--comp_IS_and_FID_only", action="store_true", default=False)
+
+    args = parser.parse_args(argv)
+
+    # resolve the threshold_type alias (scripts target upstream flags)
+    if args.vicinity_type is None:
+        if args.threshold_type == "hard":
+            args.vicinity_type = "hv"
+        elif args.threshold_type == "soft":
+            args.vicinity_type = "sv"
+        else:
+            args.vicinity_type = "shv"
+    return args
+
+
+def parse_channel_mult(s: str) -> tuple:
+    """'1_2_4_8' -> (1,2,4,8)."""
+    return tuple(int(x) for x in s.split("_"))

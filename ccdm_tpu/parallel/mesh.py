@@ -1,0 +1,45 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's entire distributed stack
+(SURVEY.md §2.4): nn.DataParallel scatter (`CCDM_unified/main.py:383`),
+HF Accelerate DDP/NCCL (`trainer.py:110-156`), MPI bootstrap (ADM-G
+`dist_util.py`), and mp.spawn (StudioGAN). In JAX all of it is a 1-axis
+`data` mesh: batches are sharded over the axis, params are replicated, and
+XLA inserts the grad all-reduce over ICI automatically inside the jitted
+train step — no NCCL/MPI analog code at all.
+
+Multi-host (DCN) runs only need `jax.distributed.initialize()` before
+`create_mesh()`; everything else is unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over all (or given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the mesh axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(x, mesh: Mesh, axis_name: str = "data"):
+    """Constrain the leading dim of every leaf to be sharded over the axis."""
+    spec = P(axis_name)
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.lax.with_sharding_constraint(leaf, NamedSharding(mesh, spec)),
+        x,
+    )

@@ -1,0 +1,416 @@
+"""Diffusion Trainer: pjit train step with device-resident vicinity batching.
+
+TPU-native re-design of `CCDM_unified/trainer.py:43-871`. The reference's
+step = host numpy label draws + per-sample Python vicinity loops + H2D copy +
+DataParallel forward + NCCL allreduce. Here the ENTIRE step — target-label
+sampling, vicinity selection, image gather + augmentation, label embedding,
+vicinal loss, grads, clip, Adam, EMA — is one jitted function over a `data`
+mesh; the training images stay resident in HBM as uint8.
+
+Fidelity modes (the two trees disagree; both supported, SURVEY.md §2.2):
+- `condition_on_target=False`, `vicinal_mode="batch"` (default, unified
+  semantics `trainer.py:598-626`): condition on the REAL labels of selected
+  images; p_losses computes intra-batch pairwise weights.
+- `condition_on_target=True`, `vicinal_mode="target"` (vanilla semantics
+  `CCDM_vanilla/.../trainer.py:273-287`): condition on the noised TARGET
+  labels; weights are per-sample exp(-d^2/kappa^2) (soft) or indicator
+  (hard) between real and target labels, applied directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ccdm_tpu.diffusion import GaussianDiffusion
+from ccdm_tpu.ops.image import augment_for_dataset, normalize_images, to_uint8
+from ccdm_tpu.ops.vicinal import hard_weights_from_targets, soft_weights_from_targets
+from ccdm_tpu.parallel import batch_sharded, create_mesh, replicated
+from ccdm_tpu.training.hyperparams import compute_vicinal_hyperparams
+from ccdm_tpu.training.state import (
+    EmaConfig,
+    TrainState,
+    create_train_state,
+    ema_update,
+    ema_variables,
+    online_variables,
+)
+from ccdm_tpu.training.vicinity import (
+    sample_target_labels,
+    select_vicinity_indices,
+    select_vicinity_indices_sliced,
+)
+from ccdm_tpu.utils.ckpt import load_checkpoint, save_checkpoint
+from ccdm_tpu.utils.logging import StepTimer, TrainLogger
+from ccdm_tpu.utils.viz import save_image_grid
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    data_name: str = "synthetic"
+    train_batch_size: int = 16
+    gradient_accumulate_every: int = 1
+    train_lr: float = 1e-4
+    train_num_steps: int = 100000
+    ema_update_after_step: int = 100
+    ema_update_every: int = 10
+    ema_decay: float = 0.995
+    adam_betas: Tuple[float, float] = (0.9, 0.99)
+    sample_every: int = 1000
+    save_every: int = 1000
+    results_folder: str = "./results"
+    max_grad_norm: float = 1.0
+    # vicinal machinery
+    vicinity_type: str = "shv"  # shv | ssv | hv | sv | none
+    kappa: Optional[float] = None  # >0 exact radius; <=0/None -> policy (|kappa| multiplies max gap)
+    kernel_sigma: Optional[float] = None
+    nonzero_soft_weight_threshold: float = 1e-3
+    vector_type: str = "gaussian"
+    num_projections: int = 1
+    distance: str = "l2"
+    hyperparameter: str = "rule_of_thumb"
+    percentile: float = 5.0
+    # fidelity modes (see module docstring)
+    condition_on_target: bool = False
+    vicinal_mode: str = "batch"  # batch | target
+    # visualization
+    y_visual: Optional[np.ndarray] = None
+    nrow_visual: int = 6
+    cond_scale_visual: float = 1.5
+    sample_timesteps_visual: Optional[int] = None
+    # logging cadence
+    log_every: int = 500
+
+
+class Trainer:
+    def __init__(
+        self,
+        diffusion: GaussianDiffusion,
+        variables: dict,
+        train_images: np.ndarray,  # [N,H,W,C] uint8
+        train_labels: np.ndarray,  # [N] or [N,D] normalized to [0,1]
+        config: TrainerConfig,
+        mesh=None,
+    ):
+        cfg = config
+        assert train_images.dtype == np.uint8 and train_images.max() > 1, \
+            "train_images must be raw uint8 (reference contract trainer.py:89)"
+        labels2d = np.asarray(train_labels, dtype=np.float32)
+        if labels2d.ndim == 1:
+            labels2d = labels2d[:, None]
+        assert labels2d.min() >= 0 and labels2d.max() <= 1.0, \
+            "labels must be normalized to [0,1] (reference contract trainer.py:90)"
+        assert cfg.train_batch_size * cfg.gradient_accumulate_every >= 16 or cfg.data_name == "synthetic", \
+            "effective batch size must be >= 16 (reference contract trainer.py:127-129)"
+
+        self.diffusion = diffusion
+        self.config = cfg
+        self.label_dim = labels2d.shape[1]
+        self.mesh = mesh if mesh is not None else create_mesh()
+
+        # resolve vicinal hyperparameters on host, once
+        self.sigma_delta, self.kappa = compute_vicinal_hyperparams(
+            labels2d,
+            cfg.vicinity_type,
+            cfg.hyperparameter,
+            cfg.kernel_sigma,
+            cfg.kappa,
+            cfg.percentile,
+            cfg.distance,
+        )
+
+        # device-resident dataset (uint8 images + f32 labels, replicated)
+        rep = replicated(self.mesh)
+        self.train_images = jax.device_put(train_images, rep)
+        self.train_labels = jax.device_put(labels2d, rep)
+        self.unique_labels = jax.device_put(
+            np.unique(labels2d, axis=0).astype(np.float32), rep
+        )
+
+        # optimizer + state
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.train_lr, b1=cfg.adam_betas[0], b2=cfg.adam_betas[1]),
+        )
+        self.ema_cfg = EmaConfig(
+            beta=cfg.ema_decay,
+            update_after_step=cfg.ema_update_after_step,
+            update_every=cfg.ema_update_every,
+        )
+        self.state: TrainState = jax.device_put(create_train_state(variables, self.tx), rep)
+
+        os.makedirs(cfg.results_folder, exist_ok=True)
+        self._train_step = None  # built lazily per fn_y2h
+        self._sample_fns = {}
+
+    # ------------------------------------------------------------ batching
+
+    def _make_batch(self, key: jax.Array, fn_y2h: Callable):
+        """Device-side vicinity batch: returns (images01, cond_labels,
+        loss_labels, labels_emb, vicinal_weights_or_None)."""
+        cfg = self.config
+        b = cfg.train_batch_size
+        k_target, k_select, k_aug = jax.random.split(key, 3)
+
+        if cfg.vicinity_type == "none":
+            idx = jax.random.randint(k_select, (b,), 0, self.train_labels.shape[0])
+            targets = self.train_labels[idx]
+            weights = None
+        else:
+            targets = sample_target_labels(k_target, self.unique_labels, b, self.sigma_delta)
+            if cfg.vicinity_type in ("shv", "ssv"):
+                idx = select_vicinity_indices_sliced(
+                    k_select, targets, self.train_labels, self.kappa,
+                    cfg.vector_type, cfg.num_projections,
+                )
+                weights = jnp.ones((b,), jnp.float32)
+            else:
+                idx = select_vicinity_indices(
+                    k_select, targets, self.train_labels, self.kappa,
+                    cfg.vicinity_type, cfg.distance, cfg.nonzero_soft_weight_threshold,
+                )
+                real = self.train_labels[idx]
+                if cfg.vicinal_mode == "target":
+                    if cfg.vicinity_type == "hv":
+                        weights = hard_weights_from_targets(real, targets, self.kappa, cfg.distance)
+                    else:
+                        weights = soft_weights_from_targets(real, targets, self.kappa, cfg.distance)
+                else:
+                    weights = jnp.ones((b,), jnp.float32)
+
+        real_labels = self.train_labels[idx]
+        imgs_u8 = self.train_images[idx]
+        imgs_u8 = augment_for_dataset(cfg.data_name, k_aug, imgs_u8)
+        images01 = normalize_images(imgs_u8, to_neg_one_to_one=False)
+
+        cond_labels = targets if cfg.condition_on_target else real_labels
+        loss_labels = real_labels
+        labels_emb = fn_y2h(cond_labels)
+        return images01, cond_labels, loss_labels, labels_emb, weights
+
+    # ---------------------------------------------------------- train step
+
+    def _build_train_step(self, fn_y2h: Callable):
+        cfg = self.config
+        diffusion = self.diffusion
+        use_batch_weights = cfg.vicinal_mode == "batch" and cfg.vicinity_type != "none"
+
+        def loss_fn(params, batch_stats, key):
+            images01, cond_labels, loss_labels, labels_emb, weights = self._make_batch(key, fn_y2h)
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            loss, updates = diffusion.loss(
+                variables, key, images01, loss_labels, labels_emb,
+                vicinal_weights=weights if use_batch_weights else None,
+                kappa=self.kappa, train=True,
+            )
+            return loss, updates
+
+        # vanilla "target" mode: the trainer-computed per-sample weights are
+        # applied directly (no intra-batch pairwise weighting).
+        def loss_fn_target(params, batch_stats, key):
+            images01, cond_labels, loss_labels, labels_emb, weights = self._make_batch(key, fn_y2h)
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            loss, updates = diffusion.weighted_loss(
+                variables, key, images01, loss_labels, labels_emb, weights, train=True,
+            )
+            return loss, updates
+
+        pick_loss = loss_fn_target if cfg.vicinal_mode == "target" else loss_fn
+        grad_fn = jax.value_and_grad(pick_loss, has_aux=True)
+        acc = cfg.gradient_accumulate_every
+
+        def train_step(state: TrainState, key: jax.Array):
+            keys = jax.random.split(key, acc)
+
+            def micro(carry, k):
+                grads_acc, loss_acc, stats = carry
+                (loss, updates), grads = grad_fn(state.params, stats, k)
+                new_stats = updates.get("batch_stats", stats)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss, new_stats), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, total_loss, batch_stats), _ = jax.lax.scan(
+                micro, (zero_grads, 0.0, state.batch_stats), keys
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / acc, grads)
+
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = state.replace(
+                step=state.step + 1,
+                params=params,
+                batch_stats=batch_stats,
+                opt_state=opt_state,
+            )
+            state = ema_update(state, self.ema_cfg)
+            return state, total_loss / acc
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # ---------------------------------------------------------------- train
+
+    def train(self, fn_y2h: Callable, progress: bool = True) -> None:
+        """Run the training loop (reference trainer.py:537-780)."""
+        cfg = self.config
+        logger = TrainLogger(cfg.results_folder, cfg.train_num_steps)
+        timer = StepTimer()
+        if self._train_step is None:
+            self._train_step = self._build_train_step(fn_y2h)
+
+        base_key = jax.random.PRNGKey(0)
+        step = int(self.state.step)
+        while step < cfg.train_num_steps:
+            key = jax.random.fold_in(base_key, step)
+            timer.start()
+            self.state, loss = self._train_step(self.state, key)
+            loss = float(loss)
+            dt = timer.stop()
+            step += 1
+
+            if step % cfg.log_every == 0 or step == 1:
+                eff_batch = cfg.train_batch_size * cfg.gradient_accumulate_every
+                logger.log_text(step, loss)
+                logger.log_scalars({
+                    "step": step,
+                    "loss": loss,
+                    "step_time_s": dt,
+                    "imgs_per_sec": eff_batch / dt if dt > 0 else 0.0,
+                })
+                if progress:
+                    print(f"step {step}/{cfg.train_num_steps} loss {loss:.4f} ({dt*1e3:.0f} ms)")
+
+            if cfg.y_visual is not None and step % cfg.sample_every == 0:
+                self._save_visual_grid(fn_y2h, step)
+            if step % cfg.save_every == 0:
+                self.save(step)
+
+    def _save_visual_grid(self, fn_y2h: Callable, step: int) -> None:
+        cfg = self.config
+        y = jnp.asarray(np.atleast_2d(np.asarray(cfg.y_visual, np.float32).T).T.reshape(len(cfg.y_visual), -1))
+        emb = fn_y2h(y)
+        imgs = self.diffusion.ddim_sample(
+            ema_variables(self.state), jax.random.PRNGKey(step), emb, labels=y,
+            cond_scale=cfg.cond_scale_visual,
+            sampling_timesteps=cfg.sample_timesteps_visual,
+        )
+        save_image_grid(
+            np.asarray(imgs), os.path.join(cfg.results_folder, f"sample_{step}.png"),
+            nrow=cfg.nrow_visual,
+        )
+
+    # ----------------------------------------------------------- sampling
+
+    def sample_given_labels(
+        self,
+        given_labels: np.ndarray,
+        fn_y2h: Callable,
+        batch_size: int,
+        denorm: bool = True,
+        to_numpy: bool = True,
+        verbose: bool = False,
+        sampler: str = "ddim",
+        cond_scale: float = 6.0,
+        sample_timesteps: int = 1000,
+        ddim_eta: float = 0.0,
+        use_ema: bool = True,
+    ):
+        """Batched EMA sampling for an array of normalized labels
+        (reference trainer.py:782-869). Returns (images, labels)."""
+        labels = np.asarray(given_labels, dtype=np.float32)
+        labels2d = labels[:, None] if labels.ndim == 1 else labels
+        assert labels2d.min() >= 0 and labels2d.max() <= 1.0
+        nfake = len(labels2d)
+        batch_size = min(batch_size, nfake)
+
+        variables = ema_variables(self.state) if use_ema else online_variables(self.state)
+
+        cache_key = (sampler, cond_scale, sample_timesteps, ddim_eta, batch_size)
+        if cache_key not in self._sample_fns:
+            if sampler == "ddim":
+                fn = lambda v, k, e, y: self.diffusion.ddim_sample(
+                    v, k, e, labels=y, cond_scale=cond_scale,
+                    sampling_timesteps=sample_timesteps, ddim_eta=ddim_eta,
+                )
+            else:
+                fn = lambda v, k, e, y: self.diffusion.p_sample_loop(
+                    v, k, e, labels=y, cond_scale=cond_scale,
+                    sampling_timesteps=sample_timesteps,
+                )
+            self._sample_fns[cache_key] = jax.jit(fn)
+        sample_fn = self._sample_fns[cache_key]
+
+        out = []
+        done = 0
+        while done < nfake:
+            chunk = labels2d[done:done + batch_size]
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            y = jnp.asarray(chunk)
+            emb = fn_y2h(y)
+            imgs = sample_fn(variables, jax.random.fold_in(jax.random.PRNGKey(1), done), emb, y)
+            imgs = np.asarray(imgs)[: len(chunk) - pad or None]
+            if denorm:
+                imgs = np.asarray(to_uint8(jnp.asarray(imgs)))
+            out.append(imgs)
+            done += batch_size
+            if verbose:
+                print(f"\r {min(done, nfake)}/{nfake} complete...")
+        images = np.concatenate(out, axis=0)[:nfake]
+        if not to_numpy:
+            images = jnp.asarray(images)
+        return images, given_labels
+
+    # --------------------------------------------------------- checkpoints
+
+    def save(self, milestone: int | str) -> str:
+        if jax.process_index() != 0:
+            return ""
+        tree = {
+            "step": np.asarray(self.state.step),
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "ema_step": np.asarray(self.state.ema_step),
+            "ema_params": jax.device_get(self.state.ema_params),
+            "ema_batch_stats": jax.device_get(self.state.ema_batch_stats),
+        }
+        return save_checkpoint(self.config.results_folder, milestone, tree)
+
+    def load(self, milestone: int | str) -> None:
+        target = {
+            "step": np.asarray(self.state.step),
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "ema_step": np.asarray(self.state.ema_step),
+            "ema_params": jax.device_get(self.state.ema_params),
+            "ema_batch_stats": jax.device_get(self.state.ema_batch_stats),
+        }
+        tree = load_checkpoint(self.config.results_folder, milestone, target)
+        rep = replicated(self.mesh)
+        self.state = jax.device_put(
+            TrainState(
+                step=jnp.asarray(tree["step"]),
+                params=tree["params"],
+                batch_stats=tree["batch_stats"],
+                opt_state=tree["opt_state"],
+                ema_step=jnp.asarray(tree["ema_step"]),
+                ema_params=tree["ema_params"],
+                ema_batch_stats=tree["ema_batch_stats"],
+            ),
+            rep,
+        )

@@ -1,0 +1,134 @@
+"""Device-resident vicinity batch construction.
+
+TPU-native re-design of the reference trainer's per-step host loops
+(`CCDM_unified/trainer.py:308-459`, vanilla `trainer.py:236-283`): drawing
+target labels, adding kernel noise, and selecting real images whose labels
+fall in the (projected) kappa-vicinity. The reference does this with
+per-sample Python loops and data-dependent rejection resampling on the host,
+forcing an H2D copy every step — its single biggest throughput bottleneck.
+
+Here everything is fixed-shape device math inside the jitted train step:
+- distances/projections are one [B, N] matrix op against the full label set,
+- uniform choice among valid candidates is the Gumbel-argmax trick over
+  log(mask),
+- the data-dependent rejection loop is replaced by a nearest-neighbor
+  fallback when a vicinity is empty (the fork itself already adopts exactly
+  this fallback for the sliced path, `trainer.py:404-415`; we adopt it as THE
+  semantics everywhere and document the deviation from vanilla's
+  rejection-resampling, SURVEY.md §7.3-1),
+- sliced frequency voting (`trainer.py:344-402`: count per-projection matches,
+  keep the top-10 most-voted candidates, pick uniformly) is vectorized with
+  top_k; ties at the 10th-place count are all kept (superset of the
+  reference's arbitrary tie cut).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ccdm_tpu.ops.vicinal import pairwise_distance, random_projection_vectors
+
+
+def _gumbel(key: jax.Array, shape) -> jax.Array:
+    u = jax.random.uniform(key, shape, minval=1e-20, maxval=1.0)
+    return -jnp.log(-jnp.log(u))
+
+
+def _masked_uniform_choice(key: jax.Array, mask: jax.Array) -> jax.Array:
+    """Uniformly pick one True column per row of mask [B, N] -> [B] indices.
+
+    Rows with no True entries return an arbitrary index; callers must handle
+    the empty case via `mask.any(axis=1)`.
+    """
+    logits = jnp.where(mask, 0.0, -jnp.inf)
+    return jnp.argmax(logits + _gumbel(key, mask.shape), axis=1)
+
+
+def sample_target_labels(
+    key: jax.Array,
+    unique_labels: jax.Array,
+    batch_size: int,
+    sigma_delta: jax.Array | float,
+):
+    """Draw batch targets = uniform unique label + N(0, sigma_delta).
+
+    Semantics of `CCDM_unified/trainer.py:308-315, 577-582`.
+    unique_labels: [U, D]; returns [B, D].
+    """
+    k_pick, k_noise = jax.random.split(key)
+    idx = jax.random.randint(k_pick, (batch_size,), 0, unique_labels.shape[0])
+    base = unique_labels[idx]
+    eps = jax.random.normal(k_noise, base.shape) * sigma_delta
+    return base + eps
+
+
+def select_vicinity_indices(
+    key: jax.Array,
+    target_labels: jax.Array,
+    train_labels: jax.Array,
+    kappa: jax.Array | float,
+    vicinity_type: str,
+    distance: str = "l2",
+    nonzero_soft_weight_threshold: float = 1e-3,
+) -> jax.Array:
+    """[B] indices of real samples for hv/sv vicinity types.
+
+    kappa is ALWAYS the raw vicinity radius (see hyperparams.py docstring).
+
+    hv: uniform among {i : d(train_i, target_j) <= kappa}, NN fallback.
+    sv: uniform among the soft-support set {i : exp(-d^2/kappa^2) >= tau},
+        i.e. d^2 <= -ln(tau) * kappa^2 (vanilla `trainer.py:250-252` with
+        kappa_inv = 1/radius^2; the unified tree's sv draws from ALL indices,
+        `trainer.py:441-444`, which the support-set choice subsumes as
+        tau -> 1), NN fallback.
+    """
+    k_choice = key
+    dist = pairwise_distance(target_labels, train_labels, distance)  # [B, N]
+    if vicinity_type == "hv":
+        mask = dist <= kappa
+    elif vicinity_type == "sv":
+        support = -jnp.log(nonzero_soft_weight_threshold) * (kappa * kappa)
+        mask = (dist * dist) <= support
+    else:
+        raise ValueError(f"select_vicinity_indices handles hv/sv, got {vicinity_type}")
+    chosen = _masked_uniform_choice(k_choice, mask)
+    nearest = jnp.argmin(dist, axis=1)
+    return jnp.where(mask.any(axis=1), chosen, nearest)
+
+
+def select_vicinity_indices_sliced(
+    key: jax.Array,
+    target_labels: jax.Array,
+    train_labels: jax.Array,
+    kappa: jax.Array | float,
+    vector_type: str = "gaussian",
+    num_projections: int = 1,
+    top_k: int = 10,
+) -> jax.Array:
+    """[B] indices via multi-projection frequency voting (shv/ssv).
+
+    Semantics of `CCDM_unified/trainer.py:317-417`.
+    """
+    k_vec, k_choice = jax.random.split(key)
+    d = train_labels.shape[-1]
+    vecs = random_projection_vectors(k_vec, vector_type, d, num_projections)  # [M, D]
+    v_norm = jnp.linalg.norm(vecs, axis=-1)  # [M]
+    v_unit = vecs / (v_norm[:, None] + 1e-8)
+
+    proj_train = train_labels @ v_unit.T  # [N, M]
+    proj_target = target_labels @ v_unit.T  # [B, M]
+    # votes[b, n] = #projections with |proj_train - proj_target| <= kappa*||v||
+    diff = jnp.abs(proj_train[None, :, :] - proj_target[:, None, :])  # [B, N, M]
+    eff_kappa = kappa * v_norm  # [M]
+    votes = jnp.sum(diff <= eff_kappa[None, None, :], axis=-1).astype(jnp.int32)  # [B, N]
+
+    n = train_labels.shape[0]
+    kth = jax.lax.top_k(votes, min(top_k, n))[0][:, -1]  # [B] 10th-highest vote
+    candidates = (votes >= jnp.maximum(kth, 1)[:, None]) & (votes >= 1)
+    chosen = _masked_uniform_choice(k_choice, candidates)
+
+    # NN fallback in full label space when no projection matched anywhere
+    dist = pairwise_distance(target_labels, train_labels, "l2")
+    nearest = jnp.argmin(dist, axis=1)
+    return jnp.where(candidates.any(axis=1), chosen, nearest)

@@ -1,0 +1,36 @@
+"""Sample-grid PNG dumps (torchvision.utils.save_image parity).
+
+The reference saves EMA sample grids every `sample_every` steps
+(`CCDM_unified/trainer.py:742-770`); this reproduces the nrow/padding grid
+layout with pure numpy + PIL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_grid(images01: np.ndarray, nrow: int = 6, padding: int = 1, pad_value: float = 0.0) -> np.ndarray:
+    """images01: [N,H,W,C] floats in [0,1] -> [GH,GW,C] grid array in [0,1]."""
+    n, h, w, c = images01.shape
+    ncol = nrow
+    nrows = (n + ncol - 1) // ncol
+    gh = nrows * (h + padding) + padding
+    gw = ncol * (w + padding) + padding
+    grid = np.full((gh, gw, c), pad_value, dtype=np.float32)
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        y0 = padding + r * (h + padding)
+        x0 = padding + col * (w + padding)
+        grid[y0:y0 + h, x0:x0 + w] = images01[i]
+    return grid
+
+
+def save_image_grid(images01: np.ndarray, path: str, nrow: int = 6, padding: int = 1) -> None:
+    from PIL import Image
+
+    grid = make_grid(np.asarray(images01, dtype=np.float32), nrow, padding)
+    arr = (np.clip(grid, 0.0, 1.0) * 255.0).astype(np.uint8)
+    if arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    Image.fromarray(arr).save(path)

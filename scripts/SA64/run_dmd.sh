@@ -1,0 +1,20 @@
+#!/bin/bash
+# SA64 DMD2-M launch — mirrors scripts/SA64/linux/run_dmd.sh semantics.
+ROOT_PATH=${ROOT_PATH:-./}
+DATA_PATH=${DATA_PATH:-./datasets}
+
+python -m ccdm_tpu.dmd_main \
+    --setting_name Setup_CCDM \
+    --root_path $ROOT_PATH --data_name SteeringAngle --data_path $DATA_PATH \
+    --image_size 64 --min_label -80.0 --max_label 80.0 \
+    --model_channels 64 --channel_mult 1_2_2_4_8 \
+    --teacher_milestone 50000 \
+    --gan_arch sngan --gene_ch 64 --disc_ch 64 --dim_z 256 \
+    --niters 200000 --train_batch_size 128 \
+    --train_lr_generator 1e-4 --train_lr_guidance 1e-4 \
+    --num_D_steps 2 --weight_guidance_adv 2 --weight_generator_adv 0.2 \
+    --adv_loss_type hinge --gan_DiffAugment \
+    --kappa -1.0 --kernel_sigma -1.0 \
+    --sample_every 1000 --save_every 5000 \
+    --nfake_per_label 200 --samp_batch_size 200 \
+    "$@" 2>&1 | tee output_dmd_SteeringAngle_64.txt

