@@ -205,10 +205,17 @@ class GaussianDiffusion:
         labels_emb: jax.Array,
         weights: jax.Array,
         train: bool = True,
+        aux_info: Optional[dict] = None,
     ):
         """Vanilla-tree loss reduction: precomputed per-sample vicinal weights
         applied directly (no intra-batch pairwise weighting), null-CFG rows
         forced to weight 1 (`CCDM_vanilla/.../diffusion.py:388-436`).
+
+        aux_info (optional, vanilla `:444-471` elastic loss): dict with
+        `apply` (fn(x_t_hat, t) -> y_pred [B,1]), `labels_gt` [B],
+        `vicinity_radius`, `lambda_aux`; adds lambda_aux * mean(|y_pred - y|)
+        over non-null rows whose error exceeds the vicinity radius. Only
+        meaningful for pred_noise (the reference gates on it).
         """
         c = self.config
         sched = self.schedule
@@ -246,7 +253,20 @@ class GaussianDiffusion:
             sq = sq / jnp.where(keep_mask[:, None, None, None], Hy, 1.0)
         per_sample = jnp.mean(sq.reshape(b, -1), axis=-1) * sched.loss_weight[t]
         w = jnp.where(keep_mask, weights, 1.0)
-        return jnp.sum(w * per_sample) / b, updates
+        loss = jnp.sum(w * per_sample) / b
+
+        if aux_info is not None and c.objective == "pred_noise":
+            # elastic aux loss (vanilla diffusion.py:444-471): regress labels
+            # from x_t rebuilt with the PREDICTED noise; penalize |err| only
+            # outside the vicinity radius and on non-null rows.
+            x_t_hat = q_sample(sched, x_start, t, model_out)
+            y_pred = aux_info["apply"](x_t_hat, t).reshape(-1)
+            err = jnp.abs(y_pred - aux_info["labels_gt"].reshape(-1))
+            aux_w = keep_mask.astype(jnp.float32) * (err > aux_info["vicinity_radius"])
+            n_nonzero = jnp.maximum(jnp.sum(aux_w), 1.0)
+            loss = loss + aux_info["lambda_aux"] * jnp.sum(aux_w * err) / n_nonzero
+
+        return loss, updates
 
     # --------------------------------------------------- guided prediction
 
@@ -420,3 +440,47 @@ class GaussianDiffusion:
         return self.p_sample_loop(
             variables, key, labels_emb, labels, cond_scale, rescaled_phi, **kwargs
         )
+
+    def interpolate(
+        self,
+        variables: Any,
+        key: jax.Array,
+        x1: jax.Array,
+        x2: jax.Array,
+        labels_emb: jax.Array,
+        t: Optional[int] = None,
+        lam: float = 0.5,
+        cond_scale: float = 1.0,
+    ) -> jax.Array:
+        """Latent blending (vanilla diffusion.py:369-383): diffuse both inputs
+        to step t, lerp, then run the ancestral chain down from t.
+
+        Deviation: the reference's `p_sample(img, i)` call omits the classes
+        argument its own signature requires (a latent defect); labels_emb is
+        mandatory here. x1/x2 in [-1,1] NHWC; returns [-1,1].
+        """
+        c = self.config
+        sched = self.schedule
+        b = x1.shape[0]
+        t = c.timesteps - 1 if t is None else t
+        k1, k2, k_scan = jax.random.split(key, 3)
+        tb = jnp.full((b,), t, dtype=jnp.int32)
+        xt1 = q_sample(sched, x1, tb, jax.random.normal(k1, x1.shape))
+        xt2 = q_sample(sched, x2, tb, jax.random.normal(k2, x2.shape))
+        img0 = (1.0 - lam) * xt1 + lam * xt2
+
+        def step(img, t_and_key):
+            t_scalar, k = t_and_key
+            t_cond = jnp.full((b,), t_scalar, dtype=jnp.int32)
+            _, x_start = self.model_predictions(
+                variables, img, t_cond, labels_emb, cond_scale, 0.0,
+            )
+            x_start = jnp.clip(x_start, -1.0, 1.0)
+            mean, _, log_var = q_posterior(sched, x_start, img, t_cond)
+            noise = jnp.where(t_scalar > 0, jax.random.normal(k, img.shape), 0.0)
+            return mean + jnp.exp(0.5 * log_var) * noise, None
+
+        ts = jnp.arange(t - 1, -1, -1, dtype=jnp.int32)
+        keys = jax.random.split(k_scan, t)
+        img, _ = jax.lax.scan(step, img0, (ts, keys))
+        return img

@@ -42,6 +42,7 @@ def get_eval_labels(bundle, args) -> np.ndarray:
 
 def build_model(args, image_size: int, channels: int):
     from ccdm_tpu.models import Unet, ViT
+    from ccdm_tpu.models.unet_adm import ADMUnet
     import jax.numpy as jnp
 
     mults = parse_channel_mult(args.channel_mult)
@@ -49,6 +50,12 @@ def build_model(args, image_size: int, channels: int):
     if args.architecture == "vit":
         return ViT(dim=args.model_channels, dim_mults=mults, in_channels=channels,
                    attn_heads=args.num_heads, dtype=dtype)
+    if args.architecture == "adm":
+        attn_res = tuple(int(s) for s in args.attention_resolutions.split("_"))
+        return ADMUnet(model_channels=args.model_channels, channel_mult=mults,
+                       in_channels=channels, num_res_blocks=args.num_res_blocks,
+                       attention_resolutions=attn_res, num_heads=args.num_heads,
+                       num_groups=args.num_groups, dtype=dtype)
     return Unet(dim=args.model_channels, dim_mults=mults, in_channels=channels,
                 attn_heads=args.num_heads, attn_dim_head=args.attn_dim_head, dtype=dtype)
 
@@ -200,6 +207,7 @@ def main(argv=None):
     os.makedirs(dump_folder, exist_ok=True)
 
     total_time = 0.0
+    all_fake_images, all_fake_labels = [], []
     for i, curr_label in enumerate(eval_labels):
         fp = os.path.join(dump_folder, f"{curr_label}.h5")
         if not os.path.isfile(fp):
@@ -226,12 +234,86 @@ def main(argv=None):
         else:
             with h5py.File(fp, "r") as f:
                 sample_time_i = float(f["sample_time_i"][0])
+                if args.comp_FID or args.dump_fake_for_NIQE:
+                    fake_images_i = f["fake_images_i"][:]
+                    fake_labels_i = f["fake_labels_i"][:]
         total_time += sample_time_i
+        if args.comp_FID or args.dump_fake_for_NIQE:
+            all_fake_images.append(fake_images_i)
+            all_fake_labels.append(fake_labels_i)
         print(f"\r [{i+1}/{num_eval}] label {curr_label}: {sample_time_i:.2f}s "
               f"(total {total_time:.2f}s)")
         gc.collect()
 
     print(f"Sampling finished; Time elapses: {total_time}s")
+
+    if args.dump_fake_for_NIQE:
+        # PNG dump for external MATLAB NIQE (vanilla main.py:498-513), then exit
+        from PIL import Image
+
+        niqe_dir = (args.niqe_dump_path if args.niqe_dump_path != "None"
+                    else os.path.join(results_folder, "saved_images", "fake_images"))
+        os.makedirs(niqe_dir, exist_ok=True)
+        fakes = np.concatenate(all_fake_images, axis=0)
+        flabels = np.concatenate(all_fake_labels)
+        for i, (img, lab) in enumerate(zip(fakes, flabels)):
+            arr = img[..., 0] if img.shape[-1] == 1 else img
+            Image.fromarray(arr).save(os.path.join(niqe_dir, f"{i}_{lab}.png"))
+        print(f"NIQE dump complete: {len(fakes)} PNGs -> {niqe_dir}")
+        return
+
+    if args.comp_FID:
+        from ccdm_tpu.eval.sfid import sliding_window_eval
+        from ccdm_tpu.eval.metrics import cal_FID, cal_labelscore
+        from ccdm_tpu.eval.train_backbones import get_eval_models
+
+        fakes = np.concatenate(all_fake_images, axis=0)
+        flabels = np.concatenate(all_fake_labels)
+        real_images = bundle.eval_images if (args.eval_mode in (2, 4) and bundle.eval_images is not None) else bundle.images
+        real_labels = bundle.eval_labels_raw if (args.eval_mode in (2, 4) and bundle.eval_labels_raw is not None) else bundle.labels_raw
+
+        num_classes = min(49, len(np.unique(real_labels)))
+        nets = get_eval_models(bundle, os.path.join(args.eval_ckpt_path, "eval_models"),
+                               num_classes, seed=args.seed)
+        (fid_net, fid_v), (ls_net, ls_v), (div_net, div_v) = nets["fid"], nets["ls"], nets["div"]
+
+        res = sliding_window_eval(
+            real_images, real_labels, fakes, flabels,
+            fn_norm_labels=bundle.fn_normalize,
+            fid_apply=fid_net.apply, fid_variables=fid_v,
+            ls_apply=ls_net.apply, ls_variables=ls_v,
+            div_apply=div_net.apply, div_variables=div_v,
+            fid_radius=args.FID_radius, num_centers=args.FID_num_centers,
+            max_label_after_shift=float(args.max_label + abs(min(args.min_label, 0.0))),
+            min_label_before_shift=float(min(args.min_label, 0.0)),
+        )
+        res.save_npz(os.path.join(
+            setting_folder, f"fid_ls_entropy_over_centers_sampstep{args.sample_timesteps}"
+        ))
+        rng_sh = np.random.default_rng(args.seed)
+        fid_all = cal_FID(fid_net.apply, fid_v,
+                          real_images[rng_sh.permutation(len(real_images))],
+                          fakes[rng_sh.permutation(len(fakes))])
+        ls_all, ls_std = cal_labelscore(
+            ls_net.apply, ls_v, fakes, bundle.fn_normalize(flabels),
+            float(min(args.min_label, 0.0)),
+            float(args.max_label + abs(min(args.min_label, 0.0))),
+        )
+        sfid_m, sfid_s = res.sfid
+        div_m, div_s = res.diversity
+        eval_path = os.path.join(setting_folder, f"eval_results_niters{args.niters}.txt")
+        with open(eval_path, "a") as f:
+            f.write("\n" + "=" * 99)
+            f.write(f"\n Radius: {args.FID_radius}.  \n")
+            print(args, file=f)
+            f.write(f"\n Sampling Steps: {args.sample_timesteps}.")
+            f.write(f"\n Sampling Time: {total_time:.3f}.")
+            f.write(f"\n SFID: {sfid_m:.3f} ({sfid_s:.3f}).")
+            f.write(f"\n LS: {ls_all:.3f} ({ls_std:.3f}).")
+            f.write(f"\n Diversity: {div_m:.3f} ({div_s:.3f}).")
+            f.write(f"\n FID: {fid_all:.3f}.")
+        print(f"\n SFID: {sfid_m:.3f}({sfid_s:.3f})  LS: {ls_all:.3f}  "
+              f"Diversity: {div_m:.3f}  FID: {fid_all:.3f}")
 
 
 if __name__ == "__main__":

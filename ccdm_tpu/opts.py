@@ -25,7 +25,9 @@ def parse_opts(argv=None):
     parser.add_argument("--setting_name", type=str, default="Setup1")
 
     # Sliced-CCDM extensions
-    parser.add_argument("--architecture", type=str, default="unet", choices=["unet", "vit"])
+    parser.add_argument("--architecture", type=str, default="unet",
+                        choices=["unet", "vit", "adm"],
+                        help="unet/vit = unified tree; adm = vanilla tree's GroupNorm UNet")
     parser.add_argument("--label_embed", type=str, default="ccdm2", choices=["ccdm1", "ccdm2", "random"])
     parser.add_argument("--vicinity_type", type=str, default=None,
                         choices=["shv", "ssv", "hv", "sv", "none"])

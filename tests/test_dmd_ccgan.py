@@ -1,0 +1,96 @@
+"""Smoke tests for the DMD2 and CcGAN trainers and the ADM UNet (tiny)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccdm_tpu.embedding import make_fn_y2h
+from ccdm_tpu.models import Unet
+from ccdm_tpu.models.aux_net import make_aux_net
+from ccdm_tpu.models.sngan import SNGANDiscriminator, SNGANGenerator
+from ccdm_tpu.models.unet_adm import ADMUnet
+
+IMG, NC = 64, 3  # GANs require img_size in {64,128,192}
+
+
+def tiny_data(n=64, img=IMG, nc=NC):
+    rng = np.random.default_rng(0)
+    labels = rng.choice(np.linspace(0.1, 0.9, 8), size=n).astype(np.float32)
+    images = np.clip(labels[:, None, None, None] * 255 + rng.normal(0, 20, (n, img, img, nc)),
+                     0, 255).astype(np.uint8)
+    return images, labels
+
+
+def test_adm_unet_shapes_and_cfg():
+    m = ADMUnet(model_channels=16, channel_mult=(1, 2), num_groups=8,
+                attention_resolutions=(2,), num_heads=2)
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 16, 16, 3))
+    t = jnp.array([3, 7])
+    e = jax.random.normal(k, (2, 128))
+    v = m.init(k, x, t, e, None, train=False)
+    out = m.apply(v, x, t, e, jnp.array([True, True]), train=False)
+    assert out.shape == (2, 16, 16, 3)
+    out_null = m.apply(v, x, t, e, jnp.array([False, False]), train=False)
+    assert not np.allclose(np.asarray(out), np.asarray(out_null))
+    # frozen null embedding: grads w.r.t. it must be zero
+    def loss(params):
+        return jnp.sum(m.apply({**v, "params": params}, x, t, e,
+                               jnp.array([False, False]), train=False) ** 2)
+    g = jax.grad(loss)(v["params"])
+    np.testing.assert_allclose(np.asarray(g["null_classes_emb"]), 0.0)
+
+
+def test_aux_nets():
+    k = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 32, 32, 3))
+    t = jnp.zeros((2,), jnp.int32)
+    for name in ("VGG11", "ResNet18"):
+        net = make_aux_net(name)
+        v = net.init(k, x, t, train=False)
+        out = net.apply(v, x, t, train=False)
+        assert out.shape == (2, 1) and float(out.min()) >= 0
+
+
+@pytest.mark.slow
+def test_dmd2_trainer_smoke(tmp_path):
+    from ccdm_tpu.training.dmd import DMD2Trainer, DMDConfig
+
+    images, labels = tiny_data()
+    unet = Unet(dim=8, dim_mults=(1, 2), in_channels=NC, attn_heads=1, attn_dim_head=8)
+    k = jax.random.PRNGKey(0)
+    uv = unet.init(k, jnp.zeros((2, IMG, IMG, NC)), jnp.zeros((2,), jnp.int32),
+                   jnp.zeros((2, 128)), None, train=False)
+    G = SNGANGenerator(dim_z=16, dim_embed=128, nc=NC, img_size=IMG, gene_ch=4)
+    D = SNGANDiscriminator(dim_embed=128, nc=NC, img_size=IMG, disc_ch=4)
+    gv = G.init(k, jnp.zeros((2, 16)), jnp.zeros((2, 128)), train=False)
+    dv = D.init(k, jnp.zeros((2, IMG, IMG, NC)), jnp.zeros((2, 128)), train=False)
+    cfg = DMDConfig(train_batch_size=8, niters=2, z_dim=16, num_D_steps=1,
+                    train_timesteps=50, results_folder=str(tmp_path),
+                    sample_every=10**9, save_every=10**9, log_every=10**9)
+    tr = DMD2Trainer(unet.apply, uv, unet.apply,
+                     jax.tree_util.tree_map(lambda v: v.copy(), uv),
+                     G, D, gv, dv, images, labels, make_fn_y2h(128), cfg)
+    tr.train(progress=False)
+    imgs, _ = tr.sample_given_labels(np.linspace(0.1, 0.9, 4), batch_size=4)
+    assert imgs.shape == (4, IMG, IMG, NC) and imgs.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_ccgan_trainer_smoke(tmp_path):
+    from ccdm_tpu.training.ccgan import CcGANConfig, CcGANTrainer
+
+    images, labels = tiny_data()
+    G = SNGANGenerator(dim_z=16, dim_embed=128, nc=NC, img_size=IMG, gene_ch=4)
+    D = SNGANDiscriminator(dim_embed=128, nc=NC, img_size=IMG, disc_ch=4)
+    k = jax.random.PRNGKey(0)
+    gv = G.init(k, jnp.zeros((2, 16)), jnp.zeros((2, 128)), train=False)
+    dv = D.init(k, jnp.zeros((2, IMG, IMG, NC)), jnp.zeros((2, 128)), train=False)
+    cfg = CcGANConfig(niters=2, batch_size_disc=8, batch_size_gene=8, num_D_steps=1,
+                      dim_gan=16, results_folder=str(tmp_path), log_every=10**9,
+                      save_niters_freq=10**9, nda_b=0.1, nda_c=0.1, nda_a=0.8)
+    tr = CcGANTrainer(G, D, gv, dv, images, labels, make_fn_y2h(128), cfg)
+    tr.train(progress=False)
+    imgs, _ = tr.sample_given_labels(np.linspace(0.1, 0.9, 4), batch_size=4)
+    assert imgs.shape == (4, IMG, IMG, NC) and imgs.dtype == np.uint8
