@@ -274,7 +274,8 @@ def main(argv=None):
 
         num_classes = min(49, len(np.unique(real_labels)))
         nets = get_eval_models(bundle, os.path.join(args.eval_ckpt_path, "eval_models"),
-                               num_classes, seed=args.seed)
+                               num_classes, epochs_ae=args.epochs_eval_ae,
+                               epochs_cnn=args.epochs_eval_cnn, seed=args.seed)
         (fid_net, fid_v), (ls_net, ls_v), (div_net, div_v) = nets["fid"], nets["ls"], nets["div"]
 
         res = sliding_window_eval(

@@ -121,6 +121,10 @@ def parse_opts(argv=None):
     parser.add_argument("--dump_fake_for_NIQE", action="store_true", default=False)
     parser.add_argument("--niqe_dump_path", type=str, default="None")
     parser.add_argument("--comp_IS_and_FID_only", action="store_true", default=False)
+    parser.add_argument("--epochs_eval_ae", type=int, default=10,
+                        help="epochs for training the SFID autoencoder backbone")
+    parser.add_argument("--epochs_eval_cnn", type=int, default=20,
+                        help="epochs for training the LS/Diversity ResNet backbones")
 
     args = parser.parse_args(argv)
 
