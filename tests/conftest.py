@@ -1,20 +1,25 @@
-"""Test configuration: force an 8-device virtual CPU platform BEFORE jax init.
+"""Test configuration: force an 8-device virtual CPU platform.
 
-This is the TPU analog of a fake distributed backend (SURVEY.md §4): every
-sharding/pjit test runs against a `jax.sharding.Mesh` of 8 host-CPU devices.
+The container's sitecustomize (PYTHONPATH=/root/.axon_site) registers the
+axon TPU PJRT plugin at interpreter startup — BEFORE any conftest runs — so
+plain env vars are too late. `jax.config.update('jax_platforms', 'cpu')`
+still wins because platform RESOLUTION is lazy; XLA_FLAGS must be in the
+environment before the CPU client is first created, which also happens
+lazily at the first jax.devices() call below. Result: every sharding/pjit
+test runs against a `jax.sharding.Mesh` of 8 host-CPU devices (the TPU
+analog of a fake distributed backend, SURVEY.md §4).
 """
 
 import os
 
-# NOTE: JAX_PLATFORMS is ignored in this environment (the axon TPU plugin
-# wins); JAX_PLATFORM_NAME reliably forces the host CPU backend.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
