@@ -342,12 +342,15 @@ class GaussianDiffusion:
         clip_denoised: bool = True,
         sampling_timesteps: Optional[int] = None,
         ddim_eta: Optional[float] = None,
+        save_intermediate: bool = False,
     ) -> jax.Array:
         """DDIM sampler as one lax.scan over (t, t_next) pairs.
 
-        Returns images in [0,1] NHWC. Semantics of ref diffusion.py:402-467
-        (incl. the call-time sampling_timesteps / eta overrides the vanilla
-        tree exposes, `CCDM_vanilla/.../diffusion.py:283-362`).
+        Returns images in [0,1] NHWC — or, with save_intermediate, the
+        [S, B, H, W, C] trajectory of intermediate states (the vanilla tree's
+        GIF-frame mode, `CCDM_vanilla/.../diffusion.py:283-362`,
+        `trainer.py:421-458`). Semantics of ref diffusion.py:402-467 incl.
+        the call-time sampling_timesteps / eta overrides.
         """
         c = self.config
         sched = self.schedule
@@ -380,10 +383,12 @@ class GaussianDiffusion:
             noise = jax.random.normal(k, img.shape)
             img_next = x_start * jnp.sqrt(alpha_next) + coef * pred_noise + sigma * noise
             img_next = jnp.where(time_next < 0, x_start, img_next)
-            return img_next, None
+            return img_next, (img_next if save_intermediate else None)
 
         keys = jax.random.split(k_scan, len(pairs))
-        img, _ = jax.lax.scan(step, img0, (jnp.asarray(pairs), keys))
+        img, frames = jax.lax.scan(step, img0, (jnp.asarray(pairs), keys))
+        if save_intermediate:
+            return unnormalize_to_zero_to_one(frames)
         return unnormalize_to_zero_to_one(img)
 
     def p_sample_loop(

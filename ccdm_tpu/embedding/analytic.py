@@ -54,13 +54,25 @@ def gaussian_fourier_embedding(y: jax.Array, W: jax.Array) -> jax.Array:
 
 
 def _make_fn(embed_dim: int, embed_type: str, rescale: str, label_dim: int,
-             seed: int, gfp_scale: float) -> Callable:
+             seed: int, gfp_scale: float, dim_combination: str = "mean") -> Callable:
     dims = _selected_dims(label_dim)
     if embed_type == "gaussian":
         # one fixed projection per selected dim (deterministic; fixes the
         # reference's fresh-randn-per-call defect)
         key = jax.random.PRNGKey(seed)
         Ws = jax.random.normal(key, (len(dims), embed_dim // 2)) * gfp_scale
+
+    combiner_apply = None
+    if dim_combination != "mean" and label_dim > 1:
+        # learned combiners exist as modules but the reference never trains
+        # them (they live outside every optimizer, label_embedding.py:212+);
+        # fixed-seed init reproduces that behavior deterministically.
+        from ccdm_tpu.embedding.combine import make_combiner
+
+        combiner = make_combiner(dim_combination, embed_dim, len(dims))
+        cvars = combiner.init(jax.random.PRNGKey(seed + 7),
+                              jnp.zeros((len(dims), 1, embed_dim)))
+        combiner_apply = lambda stacked: combiner.apply(cvars, stacked)
 
     def embed_scalar(y_flat: jax.Array, d_idx: int) -> jax.Array:
         if embed_type == "sinusoidal":
@@ -78,18 +90,24 @@ def _make_fn(embed_dim: int, embed_type: str, rescale: str, label_dim: int,
         if labels.ndim == 1 or labels.shape[-1] == 1:
             return embed_scalar(labels.reshape(-1), 0)
         per_dim = jnp.stack([embed_scalar(labels[:, d], i) for i, d in enumerate(dims)])
+        if combiner_apply is not None:
+            return combiner_apply(per_dim)
         return jnp.mean(per_dim, axis=0)
 
     return fn
 
 
 def make_fn_y2h(embed_dim: int = 128, embed_type: str = "sinusoidal",
-                label_dim: int = 1, seed: int = 2023, gfp_scale: float = 30.0) -> Callable:
+                label_dim: int = 1, seed: int = 2023, gfp_scale: float = 30.0,
+                dim_combination: str = "mean") -> Callable:
     """fn_y2h(labels [B] or [B,D]) -> [B, embed_dim] in [0,1]."""
-    return _make_fn(embed_dim, embed_type, "unit", label_dim, seed, gfp_scale)
+    return _make_fn(embed_dim, embed_type, "unit", label_dim, seed, gfp_scale,
+                    dim_combination)
 
 
 def make_fn_y2cov(cov_dim: int, embed_type: str = "sinusoidal",
-                  label_dim: int = 1, seed: int = 2024, gfp_scale: float = 30.0) -> Callable:
+                  label_dim: int = 1, seed: int = 2024, gfp_scale: float = 30.0,
+                  dim_combination: str = "mean") -> Callable:
     """fn_y2cov(labels) -> [B, C*H*W] non-negative (feeds H(y)=exp(-.))."""
-    return _make_fn(cov_dim, embed_type, "nonneg", label_dim, seed, gfp_scale)
+    return _make_fn(cov_dim, embed_type, "nonneg", label_dim, seed, gfp_scale,
+                    dim_combination)

@@ -120,10 +120,12 @@ def main(argv=None):
         fn_y2h = le.fn_y2h
         fn_y2cov = le.fn_y2cov if args.use_Hy else None
     else:
-        fn_y2h = make_fn_y2h(args.dim_embed, args.y2h_embed_type, bundle.label_dim)
+        fn_y2h = make_fn_y2h(args.dim_embed, args.y2h_embed_type, bundle.label_dim,
+                             dim_combination=args.dim_combination)
         fn_y2cov = (
             make_fn_y2cov(bundle.channels * bundle.image_size**2,
-                          args.y2cov_embed_type, bundle.label_dim)
+                          args.y2cov_embed_type, bundle.label_dim,
+                          dim_combination=args.dim_combination)
             if args.use_Hy else None
         )
 

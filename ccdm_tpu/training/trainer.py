@@ -81,6 +81,7 @@ class TrainerConfig:
     # fidelity modes (see module docstring)
     condition_on_target: bool = False
     vicinal_mode: str = "batch"  # batch | target
+    adaptive_slicing: bool = False  # per-batch sigma/kappa (ref trainer.py:254-306)
     # visualization
     y_visual: Optional[np.ndarray] = None
     nrow_visual: int = 6
@@ -165,24 +166,39 @@ class Trainer:
             targets = self.train_labels[idx]
             weights = None
         else:
-            targets = sample_target_labels(k_target, self.unique_labels, b, self.sigma_delta)
+            sigma, kappa = self.sigma_delta, self.kappa
+            if cfg.adaptive_slicing:
+                # per-batch rule-of-thumb (ref trainer.py:254-278): sigma from
+                # the drawn base labels' std, kappa = MIN pairwise distance
+                k_pick, k_target = jax.random.split(k_target)
+                base_idx = jax.random.randint(k_pick, (b,), 0, self.unique_labels.shape[0])
+                base = self.unique_labels[base_idx]
+                sigma = 1.06 * jnp.std(base, axis=0) * (b ** (-1.0 / 5.0))
+                from ccdm_tpu.ops.vicinal import pairwise_distance as _pd
+
+                d = _pd(base, base, cfg.distance)
+                d = d + jnp.eye(b) * 1e9
+                kappa = jnp.maximum(jnp.min(d), 1e-3)
+                targets = base + jax.random.normal(k_target, base.shape) * sigma
+            else:
+                targets = sample_target_labels(k_target, self.unique_labels, b, self.sigma_delta)
             if cfg.vicinity_type in ("shv", "ssv"):
                 idx = select_vicinity_indices_sliced(
-                    k_select, targets, self.train_labels, self.kappa,
+                    k_select, targets, self.train_labels, kappa,
                     cfg.vector_type, cfg.num_projections,
                 )
                 weights = jnp.ones((b,), jnp.float32)
             else:
                 idx = select_vicinity_indices(
-                    k_select, targets, self.train_labels, self.kappa,
+                    k_select, targets, self.train_labels, kappa,
                     cfg.vicinity_type, cfg.distance, cfg.nonzero_soft_weight_threshold,
                 )
                 real = self.train_labels[idx]
                 if cfg.vicinal_mode == "target":
                     if cfg.vicinity_type == "hv":
-                        weights = hard_weights_from_targets(real, targets, self.kappa, cfg.distance)
+                        weights = hard_weights_from_targets(real, targets, kappa, cfg.distance)
                     else:
-                        weights = soft_weights_from_targets(real, targets, self.kappa, cfg.distance)
+                        weights = soft_weights_from_targets(real, targets, kappa, cfg.distance)
                 else:
                     weights = jnp.ones((b,), jnp.float32)
 
@@ -194,7 +210,8 @@ class Trainer:
         cond_labels = targets if cfg.condition_on_target else real_labels
         loss_labels = real_labels
         labels_emb = fn_y2h(cond_labels)
-        return images01, cond_labels, loss_labels, labels_emb, weights
+        batch_kappa = kappa if cfg.vicinity_type != "none" else self.kappa
+        return images01, cond_labels, loss_labels, labels_emb, weights, batch_kappa
 
     # ---------------------------------------------------------- train step
 
@@ -204,21 +221,21 @@ class Trainer:
         use_batch_weights = cfg.vicinal_mode == "batch" and cfg.vicinity_type != "none"
 
         def loss_fn(params, batch_stats, key):
-            images01, cond_labels, loss_labels, labels_emb, weights = self._make_batch(key, fn_y2h)
+            images01, cond_labels, loss_labels, labels_emb, weights, kappa = self._make_batch(key, fn_y2h)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
             loss, updates = diffusion.loss(
                 variables, key, images01, loss_labels, labels_emb,
                 vicinal_weights=weights if use_batch_weights else None,
-                kappa=self.kappa, train=True,
+                kappa=kappa, train=True,
             )
             return loss, updates
 
         # vanilla "target" mode: the trainer-computed per-sample weights are
         # applied directly (no intra-batch pairwise weighting).
         def loss_fn_target(params, batch_stats, key):
-            images01, cond_labels, loss_labels, labels_emb, weights = self._make_batch(key, fn_y2h)
+            images01, cond_labels, loss_labels, labels_emb, weights, kappa = self._make_batch(key, fn_y2h)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats

@@ -34,3 +34,23 @@ def save_image_grid(images01: np.ndarray, path: str, nrow: int = 6, padding: int
     if arr.shape[-1] == 1:
         arr = arr[..., 0]
     Image.fromarray(arr).save(path)
+
+
+def save_gif(frames01: np.ndarray, path: str, nrow: int = 6, padding: int = 1,
+             fps: int = 10, stride: int = 1) -> None:
+    """Animated GIF of sampling trajectories: frames01 [S,B,H,W,C] in [0,1].
+
+    The reference does this with moviepy (vanilla trainer.py:421-458
+    generate_intermediate_gifs); PIL suffices here.
+    """
+    from PIL import Image
+
+    frames = []
+    for s in range(0, len(frames01), stride):
+        grid = make_grid(np.asarray(frames01[s], np.float32), nrow, padding)
+        arr = (np.clip(grid, 0.0, 1.0) * 255.0).astype(np.uint8)
+        if arr.shape[-1] == 1:
+            arr = arr[..., 0]
+        frames.append(Image.fromarray(arr))
+    frames[0].save(path, save_all=True, append_images=frames[1:],
+                   duration=int(1000 / fps), loop=0)
