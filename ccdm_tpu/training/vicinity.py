@@ -108,9 +108,12 @@ def select_vicinity_indices_sliced(
 ) -> jax.Array:
     """[B] indices via multi-projection frequency voting (shv/ssv).
 
-    Semantics of `CCDM_unified/trainer.py:317-417`.
+    Semantics of `CCDM_unified/trainer.py:317-417`: count per-projection
+    matches, order candidates by vote count (the reference's argsort breaks
+    ties arbitrarily; here ties break uniformly at random), keep the top-10,
+    pick one uniformly. NN fallback when nothing matched any projection.
     """
-    k_vec, k_choice = jax.random.split(key)
+    k_vec, k_tie, k_choice = jax.random.split(key, 3)
     d = train_labels.shape[-1]
     vecs = random_projection_vectors(k_vec, vector_type, d, num_projections)  # [M, D]
     v_norm = jnp.linalg.norm(vecs, axis=-1)  # [M]
@@ -124,11 +127,16 @@ def select_vicinity_indices_sliced(
     votes = jnp.sum(diff <= eff_kappa[None, None, :], axis=-1).astype(jnp.int32)  # [B, N]
 
     n = train_labels.shape[0]
-    kth = jax.lax.top_k(votes, min(top_k, n))[0][:, -1]  # [B] 10th-highest vote
-    candidates = (votes >= jnp.maximum(kth, 1)[:, None]) & (votes >= 1)
-    chosen = _masked_uniform_choice(k_choice, candidates)
+    k_eff = min(top_k, n)
+    # order by (votes, random tiebreak); top_k returns the k best per row
+    scores = votes.astype(jnp.float32) + jax.random.uniform(k_tie, votes.shape) * 0.5
+    top_scores, top_idx = jax.lax.top_k(scores, k_eff)  # [B, k]
+    # only candidates with >=1 vote are valid (reference gathers matched only)
+    valid = top_scores >= 1.0
+    pick = _masked_uniform_choice(k_choice, valid)  # position within top-k
+    chosen = jnp.take_along_axis(top_idx, pick[:, None], axis=1)[:, 0]
 
     # NN fallback in full label space when no projection matched anywhere
     dist = pairwise_distance(target_labels, train_labels, "l2")
     nearest = jnp.argmin(dist, axis=1)
-    return jnp.where(candidates.any(axis=1), chosen, nearest)
+    return jnp.where(valid.any(axis=1), chosen, nearest)

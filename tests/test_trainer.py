@@ -75,26 +75,38 @@ def test_vicinity_sampling_nn_fallback(rng):
     np.testing.assert_allclose(np.asarray(labels[idx]), 0.9)
 
 
-def test_sliced_vicinity_prefers_high_vote(rng):
-    labels = jnp.asarray(rng.uniform(0, 1, (100, 3)).astype(np.float32))
-    targets = labels[:8]  # exact matches exist
-    idx = select_vicinity_indices_sliced(
-        jax.random.PRNGKey(1), targets, labels, 0.05, "gaussian", 4
-    )
-    chosen = np.asarray(labels[idx])
-    dist = np.linalg.norm(chosen - np.asarray(targets), axis=-1)
-    # chosen samples should be close to targets (self-match is top-voted)
-    assert np.median(dist) < 0.3
+def test_sliced_vicinity_selects_from_top_voted(rng):
+    """Chosen indices must carry vote counts no lower than the 10th-highest
+    (the reference picks uniformly among the top-10 candidates,
+    trainer.py:390-402 — closeness in full label space is NOT guaranteed)."""
+    labels_np = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+    labels = jnp.asarray(labels_np)
+    targets = labels[:8]
+    key = jax.random.PRNGKey(1)
+    idx = np.asarray(select_vicinity_indices_sliced(key, targets, labels, 0.05, "gaussian", 4))
+    # recompute votes with the same key-derived projections
+    from ccdm_tpu.ops.vicinal import random_projection_vectors
+
+    k_vec, _, _ = jax.random.split(key, 3)
+    vecs = np.asarray(random_projection_vectors(k_vec, "gaussian", 3, 4))
+    vn = np.linalg.norm(vecs, axis=-1)
+    vu = vecs / (vn[:, None] + 1e-8)
+    pt = labels_np @ vu.T  # [N, M]
+    pq = labels_np[:8] @ vu.T  # [B, M]
+    votes = (np.abs(pt[None] - pq[:, None]) <= (0.05 * vn)[None, None]).sum(-1)  # [B, N]
+    kth = np.sort(votes, axis=1)[:, -10]
+    for j in range(8):
+        assert votes[j, idx[j]] >= max(kth[j], 1), (j, votes[j, idx[j]], kth[j])
 
 
 def test_target_label_noise_scale():
-    uniq = jnp.asarray(np.linspace(0, 1, 50, dtype=np.float32)[:, None])
+    # single unique label -> residuals ARE the kernel noise
+    uniq = jnp.asarray(np.array([[0.5]], dtype=np.float32))
     t = sample_target_labels(jax.random.PRNGKey(2), uniq, 4096, 0.05)
     assert t.shape == (4096, 1)
-    # residuals vs nearest unique label have std ~ sigma
-    resid = np.asarray(t) - np.asarray(uniq)[np.argmin(
-        np.abs(np.asarray(t) - np.asarray(uniq).T), axis=1)]
-    assert 0.02 < resid.std() < 0.08
+    resid = np.asarray(t) - 0.5
+    assert abs(resid.mean()) < 0.01
+    assert 0.045 < resid.std() < 0.055
 
 
 def test_hyperparams_rule_of_thumb():
