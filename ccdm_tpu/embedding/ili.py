@@ -221,6 +221,17 @@ class LabelEmbed:
 
         self.fn_y2h = fn_y2h
 
+        # y -> h -> y_hat sanity roundtrip printout (vanilla main.py:245-275,
+        # label_embedding.py:566-615) — requires the frozen h2y head, which we
+        # only have right after training; skip on cache reload.
+        if "resnet_vars" in dir():
+            h2y_k = resnet_vars["params"]["h2y"]["kernel"]
+            h2y_b = resnet_vars["params"]["h2y"]["bias"]
+            probe = jnp.asarray(np.quantile(uniq[:, 0], [0.1, 0.5, 0.9]), jnp.float32)
+            y_rec = jax.nn.relu(fn_y2h(probe) @ h2y_k + h2y_b)[:, 0]
+            print(" ILI sanity y->h->y_hat:",
+                  [f"{float(a):.3f}->{float(b):.3f}" for a, b in zip(probe, y_rec)])
+
         # ---- y2cov (optional)
         self.fn_y2cov = None
         if y2cov_type is not None:
