@@ -108,6 +108,12 @@ def main(argv=None):
     print(f"\n {args.data_name}: {len(bundle.images)} train images, "
           f"{bundle.image_size}^2 x{bundle.channels}, label_dim={bundle.label_dim}")
 
+    # auto num_projections by label dim (ref main.py:260-274)
+    if args.vicinity_type in ("shv", "ssv") and args.num_projections <= 0:
+        d = bundle.label_dim
+        args.num_projections = 10 if d > 20 else 5 if d > 10 else 3 if d > 5 else 1
+        print(f"\r Auto-set num_projections={args.num_projections} for label_dim={d}")
+
     # label embedding
     if args.y2h_embed_type == "resnet":
         from ccdm_tpu.embedding.ili import LabelEmbed
