@@ -35,16 +35,21 @@ def make_fn_class_embed(num_classes: int, dim: int = 128, seed: int = 7) -> Call
     return fn
 
 
-def classifier_grad_fn(classifier_apply: Callable, classifier_variables: Any) -> Callable:
-    """cond_fn(x_t, t, y) -> grad_x log softmax(classifier(x_t))[y].
+def classifier_grad_fn(classifier_apply: Callable, classifier_variables: Any,
+                       takes_t: bool = False) -> Callable:
+    """cond_fn(x_t, t, y) -> grad_x log softmax(classifier(x_t[, t]))[y].
 
-    Matches ADM-G's cond_fn (classifier_sample.py:54-61). The classifier here
-    is a ResNetEval('class'); it ignores t (the reference's noisy-image
-    classifier takes t — pass a t-aware net for exact parity)."""
+    Matches ADM-G's cond_fn (classifier_sample.py:54-61). Pass takes_t=True
+    with a NoisyClassifier (trained on q_sample'd images,
+    eval/train_backbones.train_noisy_classifier) for exact ADM-G parity;
+    takes_t=False works with the clean-image ResNetEval classifier."""
 
     def cond_fn(x: jax.Array, t: jax.Array, y: jax.Array) -> jax.Array:
         def logp(xi):
-            out = classifier_apply(classifier_variables, xi, train=False)
+            if takes_t:
+                out = classifier_apply(classifier_variables, xi, t, train=False)
+            else:
+                out = classifier_apply(classifier_variables, xi, train=False)
             logits = out[0] if isinstance(out, tuple) else out
             lsm = jax.nn.log_softmax(logits, axis=-1)
             return jnp.sum(jnp.take_along_axis(lsm, y[:, None], axis=1))

@@ -61,6 +61,33 @@ class AEDecoder(nn.Module):
         return jnp.tanh(h)
 
 
+class NoisyClassifier(nn.Module):
+    """Timestep-aware classifier over noisy images (ADM-G classifier parity,
+    `ADM_G/classifier_train.py` + `scripts/classifier_train` semantics):
+    ResNet trunk with additive sinusoidal t embedding after the stem, class
+    head. Feeds classifier_grad_fn for guided sampling."""
+
+    num_classes: int
+    num_blocks: Sequence[int] = (2, 2, 2, 2)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, t: jax.Array, train: bool = False):
+        from ccdm_tpu.models.layers import SinusoidalPosEmb
+
+        bn = lambda n: nn.BatchNorm(use_running_average=not train, name=n)
+        h = nn.Conv(64, (3, 3), padding=1, use_bias=False, name="stem_conv")(x)
+        h = nn.relu(bn("stem_bn")(h))
+        temb = nn.Dense(64, name="t_proj")(SinusoidalPosEmb(128, name="t_emb")(t))
+        h = h + temb[:, None, None, :]
+        for stage, nb in enumerate(self.num_blocks):
+            planes = 64 * (2**stage)
+            for b in range(nb):
+                stride = 2 if b == 0 else 1
+                h = BasicBlock(planes, stride, name=f"stage{stage}_block{b}")(h, train)
+        feat = jnp.mean(h, axis=(1, 2))
+        return nn.Dense(self.num_classes, name="head")(feat)
+
+
 class ResNetEval(nn.Module):
     """ResNet34 eval net; mode='class' -> [B,num_classes] logits,
     mode='regre' -> [B,1] in [0,1] via ReLU head (regre_eval.py ends ReLU)."""

@@ -120,6 +120,54 @@ def train_eval_resnet(
     return {"params": state[0], "batch_stats": state[1]}
 
 
+def train_noisy_classifier(
+    images_u8: np.ndarray, class_targets: np.ndarray, num_classes: int,
+    timesteps: int = 1000, beta_schedule: str = "cosine",
+    epochs: int = 20, batch_size: int = 128, lr: float = 3e-4, seed: int = 0,
+) -> dict:
+    """Train the t-aware classifier on q_sample'd noisy images (ADM-G
+    classifier_train.py semantics): x_t at t~U[0,T), cross-entropy on the
+    class label. Returns variables for NoisyClassifier."""
+    from ccdm_tpu.eval.backbones import NoisyClassifier
+    from ccdm_tpu.ops.schedule import make_schedule, q_sample
+
+    n = len(images_u8)
+    batch_size = min(batch_size, n)
+    steps = max(n // batch_size, 1) * epochs
+    sched = make_schedule(timesteps, beta_schedule, "pred_noise")
+    net = NoisyClassifier(num_classes)
+    key = jax.random.PRNGKey(seed)
+    x0 = jnp.zeros((2,) + images_u8.shape[1:], jnp.float32)
+    variables = net.init(key, x0, jnp.zeros((2,), jnp.int32), train=False)
+    tx = optax.adamw(lr, weight_decay=0.05)
+    imgs = jax.device_put(np.asarray(images_u8))
+    tgt = jax.device_put(np.asarray(class_targets, np.int32))
+
+    @jax.jit
+    def step(state, k):
+        params, stats, opt = state
+        k_idx, k_t, k_noise = jax.random.split(k, 3)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, n)
+        x = normalize_images(imgs[idx], to_neg_one_to_one=True)
+        t = jax.random.randint(k_t, (batch_size,), 0, timesteps)
+        noise = jax.random.normal(k_noise, x.shape)
+        x_t = q_sample(sched, x, t, noise)
+        y = tgt[idx]
+
+        def loss_fn(p):
+            logits, upd = net.apply({"params": p, "batch_stats": stats}, x_t, t,
+                                    train=True, mutable=["batch_stats"])
+            return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, y)), upd["batch_stats"]
+
+        (loss, stats2), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, upd), stats2, opt), loss
+
+    state = (variables["params"], variables["batch_stats"], tx.init(variables["params"]))
+    state = _train_loop(step, state, steps, key, tag="noisy_cls")
+    return {"params": state[0], "batch_stats": state[1]}
+
+
 def get_eval_models(bundle, eval_ckpt_path: str, num_classes: int,
                     epochs_ae: int = 10, epochs_cnn: int = 20, seed: int = 0):
     """Train-or-load the three eval backbones for a dataset bundle.
