@@ -25,6 +25,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ccdm_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
+
     from ccdm_tpu.diffusion import DiffusionConfig, GaussianDiffusion
     from ccdm_tpu.embedding import make_fn_y2h
     from ccdm_tpu.models import Unet

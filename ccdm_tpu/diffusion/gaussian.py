@@ -376,12 +376,18 @@ class GaussianDiffusion:
             )
             alpha = sched.alphas_cumprod[time]
             alpha_next = jnp.where(time_next < 0, 1.0, sched.alphas_cumprod[time_next])
-            sigma = eta * jnp.sqrt(
-                jnp.maximum((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha), 0.0)
-            )
-            coef = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma**2, 0.0))
-            noise = jax.random.normal(k, img.shape)
-            img_next = x_start * jnp.sqrt(alpha_next) + coef * pred_noise + sigma * noise
+            if eta == 0.0:
+                # deterministic DDIM: statically skip the sigma term AND the
+                # per-step threefry noise generation (250 fewer PRNG kernels)
+                coef = jnp.sqrt(jnp.maximum(1 - alpha_next, 0.0))
+                img_next = x_start * jnp.sqrt(alpha_next) + coef * pred_noise
+            else:
+                sigma = eta * jnp.sqrt(
+                    jnp.maximum((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha), 0.0)
+                )
+                coef = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma**2, 0.0))
+                noise = jax.random.normal(k, img.shape)
+                img_next = x_start * jnp.sqrt(alpha_next) + coef * pred_noise + sigma * noise
             img_next = jnp.where(time_next < 0, x_start, img_next)
             return img_next, (img_next if save_intermediate else None)
 

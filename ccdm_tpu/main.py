@@ -72,6 +72,9 @@ def main(argv=None):
     from ccdm_tpu.utils.ckpt import checkpoint_exists
     from ccdm_tpu.utils.viz import save_image_grid
 
+    from ccdm_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
     args = parse_opts(argv)
     np.random.seed(args.seed)
 

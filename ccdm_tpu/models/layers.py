@@ -55,10 +55,11 @@ class ConvBlock(nn.Module):
     """
 
     dim_out: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, scale_shift: Optional[Tuple[jax.Array, jax.Array]] = None) -> jax.Array:
-        x = nn.Conv(self.dim_out, (3, 3), padding=1, name="proj")(x)
+        x = nn.Conv(self.dim_out, (3, 3), padding=1, name="proj", dtype=self.dtype)(x)
         x = RMSNorm(self.dim_out, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
@@ -75,18 +76,19 @@ class ResnetBlock(nn.Module):
     """
 
     dim_out: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, t_emb: jax.Array, c_emb: Optional[jax.Array] = None) -> jax.Array:
         tc = t_emb if c_emb is None else jnp.concatenate([t_emb, c_emb], axis=-1)
-        tc = nn.Dense(self.dim_out * 2, name="tc_mlp")(nn.silu(tc))
+        tc = nn.Dense(self.dim_out * 2, name="tc_mlp", dtype=self.dtype)(nn.silu(tc))
         scale, shift = jnp.split(tc[:, None, None, :], 2, axis=-1)
 
-        h = ConvBlock(self.dim_out, name="block1")(x, (scale, shift))
-        h = ConvBlock(self.dim_out, name="block2")(h)
+        h = ConvBlock(self.dim_out, dtype=self.dtype, name="block1")(x, (scale, shift))
+        h = ConvBlock(self.dim_out, dtype=self.dtype, name="block2")(h)
 
         if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, (1, 1), name="res_conv")(x)
+            x = nn.Conv(self.dim_out, (1, 1), name="res_conv", dtype=self.dtype)(x)
         return h + x
 
 
@@ -95,31 +97,31 @@ class LinearAttention(nn.Module):
 
     Matches `models/unet.py:189-216`: softmax(q over per-head channel dim),
     softmax(k over spatial dim), two einsum contractions, 1x1 out conv
-    followed by RMSNorm.
+    followed by RMSNorm. The softmax->context->out pipeline runs as ONE
+    fused Pallas kernel on TPU (ccdm_tpu.ops.linear_attention) — the
+    unfused version is HBM-bound on materialized intermediates and was the
+    largest single cost in the 64^2 sampler.
     """
 
     dim: int
     heads: int = 4
     dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ccdm_tpu.ops.linear_attention import linear_attention
+
         b, hh, ww, c = x.shape
         n = hh * ww
         hidden = self.heads * self.dim_head
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv", dtype=self.dtype)(x)
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
 
-        q = jax.nn.softmax(q, axis=-1) * (self.dim_head**-0.5)
-        k = jax.nn.softmax(k, axis=1)
-
-        # context[b,h,d,e] = sum_n k[b,n,h,d] v[b,n,h,e]
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-        # out[b,n,h,e] = sum_d context[b,h,d,e] q[b,n,h,d]
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = linear_attention(q, k, v)  # fused softmaxes + contractions
         out = out.reshape(b, hh, ww, hidden)
-        out = nn.Conv(self.dim, (1, 1), name="to_out")(out)
+        out = nn.Conv(self.dim, (1, 1), name="to_out", dtype=self.dtype)(out)
         return RMSNorm(self.dim, name="out_norm")(out)
 
 
@@ -133,13 +135,14 @@ class Attention(nn.Module):
     dim: int
     heads: int = 4
     dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, hh, ww, c = x.shape
         n = hh * ww
         hidden = self.heads * self.dim_head
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv", dtype=self.dtype)(x)
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
 
@@ -148,7 +151,7 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bhij,bjhd->bihd", attn, v.astype(jnp.float32)).astype(x.dtype)
         out = out.reshape(b, hh, ww, hidden)
-        return nn.Conv(self.dim, (1, 1), name="to_out")(out)
+        return nn.Conv(self.dim, (1, 1), name="to_out", dtype=self.dtype)(out)
 
 
 class PreNormResidual(nn.Module):
@@ -174,20 +177,22 @@ class Upsample(nn.Module):
     """nearest 2x + conv3x3 (`models/unet.py:74-78`)."""
 
     dim_out: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Conv(self.dim_out, (3, 3), padding=1, name="conv")(upsample_nearest_2x(x))
+        return nn.Conv(self.dim_out, (3, 3), padding=1, name="conv", dtype=self.dtype)(upsample_nearest_2x(x))
 
 
 class Downsample(nn.Module):
     """conv4x4 stride2 pad1 (`models/unet.py:80-81`)."""
 
     dim_out: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Conv(self.dim_out, (4, 4), strides=2, padding=1, name="conv")(x)
+        return nn.Conv(self.dim_out, (4, 4), strides=2, padding=1, name="conv", dtype=self.dtype)(x)
 
 
 def null_cond_init(key: jax.Array, shape: Sequence[int], dtype=jnp.float32) -> jax.Array:

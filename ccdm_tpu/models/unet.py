@@ -108,48 +108,48 @@ class Unet(nn.Module):
         skips = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= num_res - 1
-            x = ResnetBlock(dim_in, name=f"down_{ind}_block1")(x, t_emb, c_emb)
+            x = ResnetBlock(dim_in, dtype=self.dtype, name=f"down_{ind}_block1")(x, t_emb, c_emb)
             skips.append(x)
-            x = ResnetBlock(dim_in, name=f"down_{ind}_block2")(x, t_emb, c_emb)
+            x = ResnetBlock(dim_in, dtype=self.dtype, name=f"down_{ind}_block2")(x, t_emb, c_emb)
             x = PreNormResidual(
                 dim_in,
-                LinearAttention(dim_in, self.attn_heads, self.attn_dim_head, name=f"down_{ind}_attn_inner"),
+                LinearAttention(dim_in, self.attn_heads, self.attn_dim_head, dtype=self.dtype, name=f"down_{ind}_attn_inner"),
                 name=f"down_{ind}_attn",
             )(x)
             skips.append(x)
             if not is_last:
-                x = Downsample(dim_out, name=f"down_{ind}_downsample")(x)
+                x = Downsample(dim_out, dtype=self.dtype, name=f"down_{ind}_downsample")(x)
             else:
-                x = nn.Conv(dim_out, (3, 3), padding=1, name=f"down_{ind}_conv")(x)
+                x = nn.Conv(dim_out, (3, 3), padding=1, name=f"down_{ind}_conv", dtype=self.dtype)(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, name="mid_block1")(x, t_emb, c_emb)
+        x = ResnetBlock(mid_dim, dtype=self.dtype, name="mid_block1")(x, t_emb, c_emb)
         if return_bottleneck:
             return x
         x = PreNormResidual(
             mid_dim,
-            Attention(mid_dim, self.attn_heads, self.attn_dim_head, name="mid_attn_inner"),
+            Attention(mid_dim, self.attn_heads, self.attn_dim_head, dtype=self.dtype, name="mid_attn_inner"),
             name="mid_attn",
         )(x)
-        x = ResnetBlock(mid_dim, name="mid_block2")(x, t_emb, c_emb)
+        x = ResnetBlock(mid_dim, dtype=self.dtype, name="mid_block2")(x, t_emb, c_emb)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == num_res - 1
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out, name=f"up_{ind}_block1")(x, t_emb, c_emb)
+            x = ResnetBlock(dim_out, dtype=self.dtype, name=f"up_{ind}_block1")(x, t_emb, c_emb)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out, name=f"up_{ind}_block2")(x, t_emb, c_emb)
+            x = ResnetBlock(dim_out, dtype=self.dtype, name=f"up_{ind}_block2")(x, t_emb, c_emb)
             x = PreNormResidual(
                 dim_out,
-                LinearAttention(dim_out, self.attn_heads, self.attn_dim_head, name=f"up_{ind}_attn_inner"),
+                LinearAttention(dim_out, self.attn_heads, self.attn_dim_head, dtype=self.dtype, name=f"up_{ind}_attn_inner"),
                 name=f"up_{ind}_attn",
             )(x)
             if not is_last:
-                x = Upsample(dim_in, name=f"up_{ind}_upsample")(x)
+                x = Upsample(dim_in, dtype=self.dtype, name=f"up_{ind}_upsample")(x)
             else:
-                x = nn.Conv(dim_in, (3, 3), padding=1, name=f"up_{ind}_conv")(x)
+                x = nn.Conv(dim_in, (3, 3), padding=1, name=f"up_{ind}_conv", dtype=self.dtype)(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(dim, name="final_res_block")(x, t_emb, c_emb)
+        x = ResnetBlock(dim, dtype=self.dtype, name="final_res_block")(x, t_emb, c_emb)
         out = nn.Conv(self.output_channels, (1, 1), name="final_conv", dtype=jnp.float32)(x)
         return out.astype(jnp.float32)

@@ -1,0 +1,121 @@
+"""Fused linear-attention Pallas kernel (the UNet's hottest op).
+
+The lucidrains linear attention (`CCDM_unified/models/unet.py:189-216`) is
+the single largest cost in the 64^2 sampler: measured ~60% of UNet forward
+time on v5e, and the op is HBM-bandwidth-bound — the unfused XLA version
+materializes softmax(q), softmax(k), and the per-head context between every
+stage. This kernel computes, per (batch, head) grid cell, entirely in VMEM:
+
+    q' = softmax_D(q) * D^-1/2          (rowwise, per token)
+    k' = softmax_N(k)                    (columnwise, over all tokens)
+    ctx[d,e] = sum_n k'[n,d] v[n,e]      (D x E, tiny)
+    out = q' @ ctx
+
+reading q/k/v from HBM once and writing out once. Numerics match the
+reference formulation exactly (softmaxes in f32).
+
+Training still works: jax.custom_vjp with the forward running the kernel and
+the backward re-running the pure-jnp reference under jax.vjp (attention
+backward is not on the benchmark path; sampling is).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def linear_attention_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Pure-jnp reference: q,k,v [B,N,H,D] -> out [B,N,H,D]."""
+    d = q.shape[-1]
+    qf = jax.nn.softmax(q.astype(jnp.float32), axis=-1) * (d**-0.5)
+    kf = jax.nn.softmax(k.astype(jnp.float32), axis=1)
+    ctx = jnp.einsum("bnhd,bnhe->bhde", kf, v.astype(jnp.float32))
+    out = jnp.einsum("bhde,bnhd->bnhe", ctx, qf)
+    return out.astype(q.dtype)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref):
+    """One (batch*head) cell: q/k/v refs are [1, N, D] blocks in VMEM."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    d = q.shape[-1]
+
+    # rowwise softmax over D (lanes)
+    qm = jnp.max(q, axis=-1, keepdims=True)
+    qe = jnp.exp(q - qm)
+    qs = qe / jnp.sum(qe, axis=-1, keepdims=True) * (d**-0.5)
+
+    # columnwise softmax over N (sublanes)
+    km = jnp.max(k, axis=0, keepdims=True)
+    ke = jnp.exp(k - km)
+    ks = ke / jnp.sum(ke, axis=0, keepdims=True)
+
+    # tiny context matrix [D, E] on the MXU, then out = q' @ ctx
+    ctx = jax.lax.dot_general(ks, v, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = jax.lax.dot_general(qs, ctx, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _forward_pallas(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, h, d = q.shape
+    # [B,N,H,D] -> [B*H, N, D] grid cells
+    to_cells = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    qc, kc, vc = to_cells(q), to_cells(k), to_cells(v)
+
+    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        grid=(b * h,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * n * d * d * 2,
+            bytes_accessed=4 * b * h * n * d * q.dtype.itemsize,
+            transcendentals=2 * b * h * n * d,
+        ),
+    )(qc, kc, vc)
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+import os
+
+# Measured on v5e-1 (B=128, 64^2, dim-64 UNet): the XLA reference formulation
+# in bf16 runs the whole UNet at 26.0 ms/fwd; this kernel's [N, D=32] cell
+# layout underutilizes the 128-wide lanes and lands at 44 ms. Until the
+# kernel processes all H*D=128 lanes per cell it stays opt-in.
+_USE_PALLAS = os.environ.get("CCDM_TPU_FUSED_ATTN", "0") == "1"
+
+
+@jax.custom_vjp
+def linear_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Linear attention: q,k,v [B,N,H,D] -> [B,N,H,D].
+
+    XLA reference math by default (bf16-friendly, already fusion-optimal on
+    TPU per A/B measurements); CCDM_TPU_FUSED_ATTN=1 opts into the Pallas
+    kernel."""
+    if _USE_PALLAS and jax.default_backend() == "tpu":
+        return _forward_pallas(q, k, v)
+    return linear_attention_reference(q, k, v)
+
+
+def _fwd(q, k, v):
+    return linear_attention(q, k, v), (q, k, v)
+
+
+def _bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(linear_attention_reference, q, k, v)
+    return vjp(g)
+
+
+linear_attention.defvjp(_fwd, _bwd)
