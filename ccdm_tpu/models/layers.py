@@ -27,8 +27,12 @@ class RMSNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         g = self.param("g", nn.initializers.ones, (self.dim,))
-        inv = jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + 1e-12)
-        return x * inv * g
+        # statistics in f32 for stability; output stays in the activation
+        # dtype (an f32 gain would silently promote every post-conv tensor)
+        inv = jax.lax.rsqrt(
+            jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True) + 1e-12
+        )
+        return x * inv.astype(x.dtype) * g.astype(x.dtype)
 
 
 class SinusoidalPosEmb(nn.Module):
