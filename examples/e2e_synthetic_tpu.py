@@ -28,7 +28,7 @@ from ccdm_tpu.models import Unet
 from ccdm_tpu.training import Trainer, TrainerConfig
 
 
-def main(steps: int = 800):
+def main(steps: int = 800, mode: str = "full"):
     ds = make_synthetic(n=2000, image_size=64, channels=1, n_labels=100, seed=3)
     model = Unet(dim=32, dim_mults=(1, 2, 2, 4), in_channels=1, dtype=jnp.bfloat16)
     k = jax.random.PRNGKey(0)
@@ -45,12 +45,24 @@ def main(steps: int = 800):
     tr = Trainer(diff, variables, ds.images, ds.labels_norm, tcfg)
     fn_y2h = make_fn_y2h(128)
 
-    t0 = time.time()
-    tr.train(fn_y2h, progress=True)
-    dt = time.time() - t0
-    print(f"trained {steps} steps in {dt:.0f}s = {steps*128/dt:.0f} imgs/s train throughput",
-          flush=True)
-    tr.save("e2e")
+    if mode in ("full", "train"):
+        from ccdm_tpu.utils.ckpt import checkpoint_exists
+
+        if checkpoint_exists("/tmp/e2e_tpu", "e2e"):
+            tr.load("e2e")
+            print(f"resumed at step {int(tr.state.step)}", flush=True)
+        t0 = time.time()
+        tr.train(fn_y2h, progress=True)
+        dt = time.time() - t0
+        done = steps - 0
+        print(f"trained to {steps} steps in {dt:.0f}s "
+              f"({128/max(dt/max(done,1),1e-9):.0f} imgs/s if uninterrupted)", flush=True)
+        tr.save("e2e")
+        if mode == "train":
+            return
+    else:
+        tr.load("e2e")
+        print(f"loaded checkpoint at step {int(tr.state.step)}", flush=True)
 
     # label-consistency check: brightness must track the requested label
     probe = np.array([0.2, 0.5, 0.8], np.float32)
@@ -67,4 +79,5 @@ def main(steps: int = 800):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 800)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 800,
+         sys.argv[2] if len(sys.argv) > 2 else "full")
