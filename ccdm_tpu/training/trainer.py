@@ -289,25 +289,35 @@ class Trainer:
 
         base_key = jax.random.PRNGKey(0)
         step = int(self.state.step)
+        window_t0 = time.perf_counter()
+        window_start = step
         while step < cfg.train_num_steps:
             key = jax.random.fold_in(base_key, step)
             timer.start()
             self.state, loss = self._train_step(self.state, key)
-            loss = float(loss)
+            # NOTE: loss stays a device array — materializing it every step
+            # forces a host sync (a full round trip on remote-TPU setups);
+            # we only block at log boundaries.
             dt = timer.stop()
             step += 1
 
             if step % cfg.log_every == 0 or step == 1:
+                loss_val = float(loss)  # device sync, once per window
+                window_dt = time.perf_counter() - window_t0
+                n_window = max(step - window_start, 1)
+                per_step = window_dt / n_window
                 eff_batch = cfg.train_batch_size * cfg.gradient_accumulate_every
-                logger.log_text(step, loss)
+                logger.log_text(step, loss_val)
                 logger.log_scalars({
                     "step": step,
-                    "loss": loss,
-                    "step_time_s": dt,
-                    "imgs_per_sec": eff_batch / dt if dt > 0 else 0.0,
+                    "loss": loss_val,
+                    "step_time_s": per_step,
+                    "imgs_per_sec": eff_batch / per_step if per_step > 0 else 0.0,
                 })
                 if progress:
-                    print(f"step {step}/{cfg.train_num_steps} loss {loss:.4f} ({dt*1e3:.0f} ms)")
+                    print(f"step {step}/{cfg.train_num_steps} loss {loss_val:.4f} ({per_step*1e3:.0f} ms)")
+                window_t0 = time.perf_counter()
+                window_start = step
 
             if cfg.y_visual is not None and step % cfg.sample_every == 0:
                 self._save_visual_grid(fn_y2h, step)
