@@ -21,7 +21,24 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ccdm_tpu.models.layers import SinusoidalPosEmb, null_cond_init, upsample_nearest_2x
+import math
+
+from ccdm_tpu.models.layers import null_cond_init, upsample_nearest_2x
+
+
+def adm_timestep_embedding(t: jax.Array, dim: int) -> jax.Array:
+    """Vanilla-tree sinusoid (`CCDM_vanilla/.../models/unet.py:40-58`):
+    cos||sin with frequencies exp(-ln(10000) * arange(half) / half) — note the
+    divisor is `half`, unlike the unified tree's lucidrains variant
+    (divisor half-1, sin||cos)."""
+    t = t.reshape(-1).astype(jnp.float32)
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
 
 
 class ADMResBlock(nn.Module):
@@ -111,9 +128,7 @@ class ADMUnet(nn.Module):
         time_dim = mc * 4
         cond_dim = mc * 4
 
-        t_emb = SinusoidalPosEmb(mc, name="sinu_pos_emb")(t)
-        # ADM orders cos||sin (unet.py:55); SinusoidalPosEmb emits sin||cos —
-        # a fixed permutation absorbed by the first Dense.
+        t_emb = adm_timestep_embedding(t, mc)
         t_emb = nn.Dense(time_dim, name="time_dense_1")(t_emb)
         t_emb = nn.Dense(time_dim, name="time_dense_2")(nn.silu(t_emb))
 
