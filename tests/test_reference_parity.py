@@ -162,6 +162,91 @@ def test_label_mlp_param_count_parity():
 
 
 @pytest.mark.slow
+def test_adm_unet_param_count_parity():
+    import jax
+    import jax.numpy as jnp
+
+    ref_mod = _import_file("ref_vanilla_unet2", f"{REF_VANILLA}/models/unet.py")
+    ref = ref_mod.Unet(embed_input_dim=128, in_channels=3, model_channels=32,
+                       num_res_blocks=2, attention_resolutions=(2,),
+                       channel_mult=(1, 2), num_heads=4,
+                       use_scale_shift_norm=True, num_groups=8)
+    want = n_params_torch(ref)
+    # the reference registers null_classes_emb with requires_grad=False
+    # (unet.py:260) so torch does NOT count it; ours lives in params
+    # (frozen via stop_gradient) — subtract for comparison.
+    null_emb = 32 * 4
+
+    from ccdm_tpu.models.unet_adm import ADMUnet
+
+    mine = ADMUnet(embed_input_dim=128, in_channels=3, model_channels=32,
+                   num_res_blocks=2, attention_resolutions=(2,),
+                   channel_mult=(1, 2), num_heads=4, num_groups=8)
+    v = mine.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                  jnp.zeros((1,), jnp.int32), jnp.zeros((1, 128)), None, train=False)
+    got = n_params_flax(v) - null_emb
+    assert got == want, f"ADM UNet params: ours {got} vs reference {want}"
+
+
+@pytest.mark.slow
+def test_resnet_embed_param_count_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from models.resnet_y2h import ResNet34_embed_y2h
+
+    from ccdm_tpu.models.resnet_embed import ResNetEmbed
+
+    ref = ResNet34_embed_y2h(dim_embed=64, nc=3)
+    want = n_params_torch(ref)
+    mine = ResNetEmbed(dim_embed=64, label_dim=1)
+    v = mine.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    got = n_params_flax(v)
+    assert got == want, f"ResNet_embed params: ours {got} vs reference {want}"
+
+
+@pytest.mark.slow
+def test_autoencoder_param_count_parity():
+    import jax
+    import jax.numpy as jnp
+
+    ae_mod = _import_file("ref_vanilla_ae", f"{REF_VANILLA}/models/autoencoder.py")
+    ref_enc = ae_mod.encoder(dim_bottleneck=128, ch=16)
+    ref_dec = ae_mod.decoder(dim_bottleneck=128, ch=16)
+
+    from ccdm_tpu.eval.backbones import AEDecoder, AEEncoder
+
+    enc = AEEncoder(dim_bottleneck=128, ch=16)
+    dec = AEDecoder(ch=16, nc=3, init_size=4)
+    k = jax.random.PRNGKey(0)
+    ev = enc.init(k, jnp.zeros((1, 64, 64, 3)), train=False)
+    dv = dec.init(k, jnp.zeros((1, 128)), train=False)
+    assert n_params_flax(ev) == n_params_torch(ref_enc), "AE encoder params"
+    assert n_params_flax(dv) == n_params_torch(ref_dec), "AE decoder params"
+
+
+@pytest.mark.slow
+def test_sagan_param_count_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from models.sagan import sagan_discriminator, sagan_generator
+
+    from ccdm_tpu.models.sagan import SAGANDiscriminator, SAGANGenerator
+
+    ref_g = sagan_generator(dim_z=128, dim_embed=128, nc=3, img_size=64, gene_ch=16)
+    ref_d = sagan_discriminator(dim_embed=128, nc=3, img_size=64, disc_ch=16)
+
+    g = SAGANGenerator(dim_z=128, dim_embed=128, nc=3, img_size=64, gene_ch=16)
+    d = SAGANDiscriminator(dim_embed=128, nc=3, img_size=64, disc_ch=16)
+    k = jax.random.PRNGKey(0)
+    gv = g.init(k, jnp.zeros((1, 128)), jnp.zeros((1, 128)), train=False)
+    dv = d.init(k, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 128)), train=False)
+    assert n_params_flax(gv) == n_params_torch(ref_g), "SAGAN G params"
+    assert n_params_flax(dv) == n_params_torch(ref_d), "SAGAN D params"
+
+
+@pytest.mark.slow
 def test_sngan_param_count_parity():
     import jax
     import jax.numpy as jnp
