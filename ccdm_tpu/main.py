@@ -275,7 +275,7 @@ def main(argv=None):
 
     if args.comp_FID:
         from ccdm_tpu.eval.sfid import sliding_window_eval
-        from ccdm_tpu.eval.metrics import cal_FID, cal_labelscore
+        from ccdm_tpu.eval.metrics import cal_FID, cal_labelscore, inception_score
         from ccdm_tpu.eval.train_backbones import get_eval_models
 
         fakes = np.concatenate(all_fake_images, axis=0)
@@ -288,6 +288,19 @@ def main(argv=None):
                                num_classes, epochs_ae=args.epochs_eval_ae,
                                epochs_cnn=args.epochs_eval_cnn, seed=args.seed)
         (fid_net, fid_v), (ls_net, ls_v), (div_net, div_v) = nets["fid"], nets["ls"], nets["div"]
+
+        if args.comp_IS_and_FID_only:
+            # vanilla main.py:548-560: overall FID + IS on all fakes, skip
+            # the sliding-window protocol
+            rng_sh = np.random.default_rng(args.seed)
+            fid_all = cal_FID(fid_net.apply, fid_v,
+                              real_images[rng_sh.permutation(len(real_images))],
+                              fakes[rng_sh.permutation(len(fakes))])
+            is_mean, is_std = inception_score(div_net.apply, div_v, fakes,
+                                              num_classes, splits=10)
+            print(f"\n FID of {len(fakes)} fake images: {fid_all:.3f}.")
+            print(f"\n IS of {len(fakes)} fake images: {is_mean:.3f}({is_std:.3f}).")
+            return
 
         res = sliding_window_eval(
             real_images, real_labels, fakes, flabels,
