@@ -194,6 +194,7 @@ def main(argv=None):
         y_visual=y_visual,
         cond_scale_visual=args.sample_cond_scale,
         sample_timesteps_visual=min(args.sample_timesteps, 250),
+        log_every=args.log_every,
     )
     trainer = Trainer(diffusion, variables, bundle.images, bundle.labels_norm, tcfg)
     print(f" sigma_delta={trainer.sigma_delta}, kappa={trainer.kappa}")

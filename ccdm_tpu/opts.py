@@ -80,6 +80,8 @@ def parse_opts(argv=None):
     parser.add_argument("--beta_schedule", type=str, default="cosine", choices=["cosine", "linear"])
     parser.add_argument("--sample_every", type=int, default=1000)
     parser.add_argument("--save_every", type=int, default=10000)
+    parser.add_argument("--log_every", type=int, default=500,
+                        help="loss/throughput logging stride (reference logs every 500)")
 
     # Label embedding
     parser.add_argument("--y2h_embed_type", type=str, default="sinusoidal",
