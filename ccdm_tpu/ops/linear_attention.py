@@ -87,24 +87,96 @@ def _forward_pallas(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
 
+def _kernel_fulllane(q_ref, k_ref, v_ref, bd_ref, o_ref):
+    """One batch-element cell with ALL heads packed in lanes: refs [1, N, F]
+    where F = H*D (=128 -> full lane utilization).
+
+    Per-head q softmax uses the shift-invariance trick: subtracting the
+    GLOBAL row max (constant across the row, hence within each head group)
+    leaves each group softmax unchanged; group sums come from one MXU matmul
+    with the block-diagonal ones matrix bd [F, F]. The head-mixing terms of
+    ctx are masked off with the same bd.
+    """
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    bd = bd_ref[:].astype(jnp.float32)
+    f = q.shape[-1]
+    d = jnp.float32(32.0)  # per-head dim (bd encodes the actual grouping)
+
+    # --- q': per-head-group softmax over lanes
+    q_shift = q - jnp.max(q, axis=-1, keepdims=True)
+    eq = jnp.exp(q_shift)
+    group_sum = jax.lax.dot_general(eq, bd, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    qs = eq / group_sum * jax.lax.rsqrt(d)
+
+    # --- k': softmax over tokens (sublanes)
+    ek = jnp.exp(k - jnp.max(k, axis=0, keepdims=True))
+    ks = ek / jnp.sum(ek, axis=0, keepdims=True)
+
+    # --- ctx = k'^T v masked to per-head blocks; out = q' @ ctx
+    ctx = jax.lax.dot_general(ks, v, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ctx = ctx * bd
+    out = jax.lax.dot_general(qs, ctx, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _forward_pallas_fulllane(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, h, d = q.shape
+    f = h * d
+    flat = lambda x: x.reshape(b, n, f)
+    qc, kc, vc = flat(q), flat(k), flat(v)
+    bd = jnp.kron(jnp.eye(h, dtype=q.dtype), jnp.ones((d, d), q.dtype))
+
+    spec = pl.BlockSpec((1, n, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    bd_spec = pl.BlockSpec((f, f), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _kernel_fulllane,
+        out_shape=jax.ShapeDtypeStruct((b, n, f), q.dtype),
+        grid=(b,),
+        in_specs=[spec, spec, spec, bd_spec],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * f * f * 2,
+            bytes_accessed=4 * b * n * f * q.dtype.itemsize,
+            transcendentals=2 * b * n * f,
+        ),
+    )(qc, kc, vc, bd)
+    return out.reshape(b, n, h, d)
+
+
 import os
 
-# Measured on v5e-1 (B=128, 64^2, dim-64 UNet): the XLA reference formulation
-# in bf16 runs the whole UNet at 26.0 ms/fwd; this kernel's [N, D=32] cell
-# layout underutilizes the 128-wide lanes and lands at 44 ms. Until the
-# kernel processes all H*D=128 lanes per cell it stays opt-in.
-_USE_PALLAS = os.environ.get("CCDM_TPU_FUSED_ATTN", "0") == "1"
+# v5e-1 A/B, dim-64 UNet at 64^2, B=128 (ms/forward):
+#   33.4  f32 layers + unfused XLA attention      (round-1 start)
+#   24.2  bf16 layers + unfused XLA attention
+#   44.1  original [N, D=32]-cell kernel           (lane-starved; kept for study)
+#   22.1  full-lane kernel (heads packed in lanes) <- default on TPU
+# CCDM_TPU_FUSED_ATTN=0 falls back to the XLA reference formulation.
+_USE_PALLAS = os.environ.get("CCDM_TPU_FUSED_ATTN", "1") == "1"
+
+# per-cell VMEM footprint ~ 6 f32 arrays of [N, H*D]; stay well under the
+# 16 MB budget (128^2+ top levels exceed it and take the XLA path)
+_MAX_CELL_ELEMS = 4096 * 128
 
 
 @jax.custom_vjp
 def linear_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Linear attention: q,k,v [B,N,H,D] -> [B,N,H,D].
 
-    XLA reference math by default (bf16-friendly, already fusion-optimal on
-    TPU per A/B measurements); CCDM_TPU_FUSED_ATTN=1 opts into the Pallas
-    kernel."""
-    if _USE_PALLAS and jax.default_backend() == "tpu":
-        return _forward_pallas(q, k, v)
+    Full-lane fused Pallas kernel on TPU when the per-cell footprint fits
+    VMEM; XLA reference math otherwise (CPU, huge N, or
+    CCDM_TPU_FUSED_ATTN=0)."""
+    b, n, h, d = q.shape
+    if (_USE_PALLAS and jax.default_backend() == "tpu"
+            and n * h * d <= _MAX_CELL_ELEMS and (h * d) % 128 == 0):
+        return _forward_pallas_fulllane(q, k, v)
     return linear_attention_reference(q, k, v)
 
 

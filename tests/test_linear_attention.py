@@ -1,0 +1,59 @@
+"""Fused linear-attention kernel vs the reference formulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccdm_tpu.ops import linear_attention as la
+
+
+def test_reference_matches_layer_math(rng):
+    """The reference fn must equal the original einsum formulation."""
+    q, k, v = (jnp.asarray(rng.normal(0, 1, (2, 64, 4, 8)).astype(np.float32))
+               for _ in range(3))
+    d = 8
+    qf = jax.nn.softmax(q, axis=-1) * (d**-0.5)
+    kf = jax.nn.softmax(k, axis=1)
+    ctx = jnp.einsum("bnhd,bnhe->bhde", kf, v)
+    want = jnp.einsum("bhde,bnhd->bnhe", ctx, qf)
+    got = la.linear_attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fulllane_kernel_interpret_matches_reference(rng, monkeypatch):
+    """Run the full-lane kernel in Pallas interpret mode on CPU and compare."""
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    q, k, v = (jnp.asarray(rng.normal(0, 2, (2, 128, 4, 32)).astype(np.float32))
+               for _ in range(3))
+    want = np.asarray(la.linear_attention_reference(q, k, v))
+    got = np.asarray(la._forward_pallas_fulllane(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
+
+
+def test_guard_routes_large_n_to_reference(rng):
+    """N*H*D beyond the VMEM guard must not attempt the kernel (CPU backend
+    already falls back; this checks the guard logic is importable/sane)."""
+    assert la._MAX_CELL_ELEMS == 4096 * 128
+    # huge-N shape on CPU: must run (reference path) without error
+    q = jnp.zeros((1, 8192, 4, 32))
+    out = la.linear_attention(q, q, q)
+    assert out.shape == (1, 8192, 4, 32)
+
+
+def test_custom_vjp_gradients_flow(rng):
+    q, k, v = (jnp.asarray(rng.normal(0, 1, (2, 64, 4, 8)).astype(np.float32))
+               for _ in range(3))
+    g = jax.grad(lambda a, b, c: jnp.sum(la.linear_attention(a, b, c) ** 2),
+                 argnums=(0, 1, 2))(q, k, v)
+    for gi in g:
+        assert np.all(np.isfinite(np.asarray(gi)))
+        assert np.any(np.asarray(gi) != 0)
