@@ -151,6 +151,87 @@ def _forward_pallas_fulllane(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Ar
     return out.reshape(b, n, h, d)
 
 
+def _kernel_ctx_chunked(k_ref, v_ref, bd_ref, ctx_ref, m_scr, s_scr, a_scr):
+    """Chunked-N context accumulation with online max rescaling.
+
+    Grid (B, NC); the N-chunk axis is minor so the f32 scratch (running
+    colmax m [1,F], colsumexp s [1,F], accumulator A [F,F]) persists across
+    chunks of one batch cell. At the last chunk the normalized, block-diag-
+    masked context A/s is written out. This extends the full-lane fused
+    kernel to resolutions whose full [N,F] cell exceeds VMEM (128^2/192^2
+    top levels)."""
+    import jax.experimental.pallas as pl
+
+    nc = pl.num_programs(1)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        s_scr[:] = jnp.zeros_like(s_scr)
+        a_scr[:] = jnp.zeros_like(a_scr)
+
+    k = k_ref[0].astype(jnp.float32)  # [CH, F]
+    v = v_ref[0].astype(jnp.float32)
+    chunk_max = jnp.max(k, axis=0, keepdims=True)  # [1, F]
+    new_m = jnp.maximum(m_scr[:], chunk_max)
+    scale = jnp.exp(m_scr[:] - new_m)  # [1, F]
+    e = jnp.exp(k - new_m)  # [CH, F]
+    s_scr[:] = s_scr[:] * scale + jnp.sum(e, axis=0, keepdims=True)
+    a_scr[:] = a_scr[:] * scale.T + jax.lax.dot_general(
+        e, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[:] = new_m
+
+    @pl.when(j == nc - 1)
+    def _finalize():
+        bd = bd_ref[:].astype(jnp.float32)
+        ctx_ref[0] = (a_scr[:] / jnp.maximum(s_scr[:].T, 1e-30)) * bd
+
+
+def _forward_pallas_chunked(q: jax.Array, k: jax.Array, v: jax.Array,
+                            chunk: int = 2048) -> jax.Array:
+    """Large-N path: Pallas chunked context + XLA q-softmax/out matmul."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, h, d = q.shape
+    f = h * d
+    kc = k.reshape(b, n, f)
+    vc = v.reshape(b, n, f)
+    bd = jnp.kron(jnp.eye(h, dtype=q.dtype), jnp.ones((d, d), q.dtype))
+    nc = max(n // chunk, 1)
+    chunk = n // nc
+
+    chunk_spec = pl.BlockSpec((1, chunk, f), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    ctx = pl.pallas_call(
+        _kernel_ctx_chunked,
+        out_shape=jax.ShapeDtypeStruct((b, f, f), jnp.float32),
+        grid=(b, nc),
+        in_specs=[
+            chunk_spec,
+            chunk_spec,
+            pl.BlockSpec((f, f), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, f, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, f), jnp.float32),
+            pltpu.VMEM((1, f), jnp.float32),
+            pltpu.VMEM((f, f), jnp.float32),
+        ],
+    )(kc, vc, bd)
+
+    # q softmax + output matmul: row-local, XLA fuses these cleanly
+    qf = q.reshape(b, n, f).astype(jnp.float32)
+    q_shift = qf - jnp.max(qf, axis=-1, keepdims=True)
+    eq = jnp.exp(q_shift)
+    group_sum = jnp.einsum("bnf,fg->bng", eq, jnp.kron(
+        jnp.eye(h, dtype=jnp.float32), jnp.ones((d, d), jnp.float32)))
+    qs = eq / group_sum * (d**-0.5)
+    out = jnp.einsum("bnf,bfg->bng", qs, ctx)
+    return out.reshape(b, n, h, d).astype(q.dtype)
+
+
 import os
 
 # v5e-1 A/B, dim-64 UNet at 64^2, B=128 (ms/forward):
@@ -174,9 +255,14 @@ def linear_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     VMEM; XLA reference math otherwise (CPU, huge N, or
     CCDM_TPU_FUSED_ATTN=0)."""
     b, n, h, d = q.shape
-    if (_USE_PALLAS and jax.default_backend() == "tpu"
-            and n * h * d <= _MAX_CELL_ELEMS and (h * d) % 128 == 0):
-        return _forward_pallas_fulllane(q, k, v)
+    if _USE_PALLAS and jax.default_backend() == "tpu" and (h * d) % 128 == 0:
+        if n * h * d <= _MAX_CELL_ELEMS:
+            return _forward_pallas_fulllane(q, k, v)
+        # chunked large-N variant: numerics validated (N up to 16384,
+        # rel err ~bf16 noise) but not yet perf-A/B'd at 128^2 — the remote
+        # compiler exceeded the round-1 time budget. Opt-in until measured.
+        if n % 2048 == 0 and os.environ.get("CCDM_TPU_CHUNKED_ATTN") == "1":
+            return _forward_pallas_chunked(q, k, v)
     return linear_attention_reference(q, k, v)
 
 
