@@ -239,6 +239,8 @@ import os
 #   24.2  bf16 layers + unfused XLA attention
 #   44.1  original [N, D=32]-cell kernel           (lane-starved; kept for study)
 #   22.1  full-lane kernel (heads packed in lanes) <- default on TPU
+# At N=16384 (128^2 L0) the chunked variant LOSES to XLA (13.5 vs 7.7 ms/op)
+# so large-N cells default to the XLA path.
 # CCDM_TPU_FUSED_ATTN=0 falls back to the XLA reference formulation.
 _USE_PALLAS = os.environ.get("CCDM_TPU_FUSED_ATTN", "1") == "1"
 
@@ -259,8 +261,9 @@ def linear_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
         if n * h * d <= _MAX_CELL_ELEMS:
             return _forward_pallas_fulllane(q, k, v)
         # chunked large-N variant: numerics validated (N up to 16384,
-        # rel err ~bf16 noise) but not yet perf-A/B'd at 128^2 — the remote
-        # compiler exceeded the round-1 time budget. Opt-in until measured.
+        # rel err ~bf16 noise) but MEASURED SLOWER than XLA at N=16384
+        # (13.5 vs 7.7 ms/op, B=64) — the per-chunk scratch rescaling
+        # serializes; kept opt-in as a starting point for a revised design.
         if n % 2048 == 0 and os.environ.get("CCDM_TPU_CHUNKED_ATTN") == "1":
             return _forward_pallas_chunked(q, k, v)
     return linear_attention_reference(q, k, v)
