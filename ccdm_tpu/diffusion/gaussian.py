@@ -21,7 +21,6 @@ just passing the EMA variables.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
@@ -31,7 +30,6 @@ import numpy as np
 from ccdm_tpu.ops import (
     Schedule,
     make_schedule,
-    extract,
     q_sample,
     q_posterior,
     predict_start_from_noise,

@@ -10,7 +10,7 @@ sampling with a model trained on the full schedule.
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence, Tuple
+from typing import Iterable, Tuple
 
 import numpy as np
 

@@ -19,11 +19,10 @@ All functions are pure jax and safe to close over inside a jitted train step.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _selected_dims(label_dim: int) -> Sequence[int]:

@@ -14,8 +14,6 @@ combiners) and the dim_combination dispatch in fn_y2h/fn_y2cov
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

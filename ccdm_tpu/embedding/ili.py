@@ -19,8 +19,7 @@ Both stages are jitted epochs over device-resident data; checkpoints go to
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

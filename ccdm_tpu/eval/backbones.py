@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ccdm_tpu.models.layers import upsample_nearest_2x
 from ccdm_tpu.models.resnet_embed import BasicBlock
 
 

@@ -11,8 +11,6 @@ as the ILI pipeline.
 from __future__ import annotations
 
 import os
-from typing import Callable, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -32,12 +32,10 @@ from flax import linen as nn
 
 from ccdm_tpu.models.layers import (
     Attention,
-    ConvBlock,
     Downsample,
     LinearAttention,
     PreNormResidual,
     ResnetBlock,
-    RMSNorm,
     SinusoidalPosEmb,
     Upsample,
     null_cond_init,

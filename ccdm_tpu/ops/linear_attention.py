@@ -21,8 +21,6 @@ backward is not on the benchmark path; sampling is).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

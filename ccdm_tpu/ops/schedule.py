@@ -15,8 +15,6 @@ surrounding elementwise math.
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -26,12 +26,10 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)

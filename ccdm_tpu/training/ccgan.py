@@ -44,7 +44,6 @@ from ccdm_tpu.training.vicinity import (
 from ccdm_tpu.ops.vicinal import pairwise_distance
 from ccdm_tpu.utils.ckpt import load_checkpoint, save_checkpoint
 from ccdm_tpu.utils.logging import TrainLogger
-from ccdm_tpu.utils.viz import save_image_grid
 
 
 def jigsaw_k(key: jax.Array, x: jax.Array, k: int = 2) -> jax.Array:

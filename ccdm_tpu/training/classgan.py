@@ -18,9 +18,6 @@ pjit (one mesh axis), see ccdm_tpu/models/sngan.py.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

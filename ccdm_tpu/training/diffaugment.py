@@ -12,8 +12,6 @@ constants) and fixed-shape. NHWC in [-1,1].
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 

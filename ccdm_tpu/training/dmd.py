@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,14 +36,13 @@ import numpy as np
 import optax
 
 from ccdm_tpu.ops.image import augment_for_dataset, normalize_images
-from ccdm_tpu.ops.schedule import Schedule, extract, make_schedule, q_sample
+from ccdm_tpu.ops.schedule import Schedule, make_schedule, q_sample
 from ccdm_tpu.parallel import create_mesh, replicated
 from ccdm_tpu.training.diffaugment import diff_augment
 from ccdm_tpu.training.hyperparams import compute_vicinal_hyperparams
 from ccdm_tpu.training.vicinity import sample_target_labels, select_vicinity_indices
 from ccdm_tpu.utils.ckpt import load_checkpoint, save_checkpoint
 from ccdm_tpu.utils.logging import TrainLogger
-from ccdm_tpu.utils.viz import save_image_grid
 
 
 @dataclasses.dataclass

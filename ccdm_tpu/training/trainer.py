@@ -22,8 +22,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from functools import partial
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +32,7 @@ import optax
 from ccdm_tpu.diffusion import GaussianDiffusion
 from ccdm_tpu.ops.image import augment_for_dataset, normalize_images, to_uint8
 from ccdm_tpu.ops.vicinal import hard_weights_from_targets, soft_weights_from_targets
-from ccdm_tpu.parallel import batch_sharded, create_mesh, replicated
+from ccdm_tpu.parallel import create_mesh, replicated
 from ccdm_tpu.training.hyperparams import compute_vicinal_hyperparams
 from ccdm_tpu.training.state import (
     EmaConfig,

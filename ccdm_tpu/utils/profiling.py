@@ -11,7 +11,7 @@ from __future__ import annotations
 import contextlib
 import os
 import time
-from typing import Callable, Iterable
+from typing import Callable
 
 import jax
 
