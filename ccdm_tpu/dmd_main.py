@@ -183,6 +183,7 @@ def main(argv=None):
         sample_every=args.sample_every,
         save_every=args.save_every,
         results_folder=results_folder,
+        seed=args.seed,
     )
     trainer = DMD2Trainer(
         unet.apply, teacher_vars, unet.apply, fake_vars,

@@ -195,6 +195,7 @@ def main(argv=None):
         cond_scale_visual=args.sample_cond_scale,
         sample_timesteps_visual=min(args.sample_timesteps, 250),
         log_every=args.log_every,
+        seed=args.seed,
     )
     trainer = Trainer(diffusion, variables, bundle.images, bundle.labels_norm, tcfg)
     print(f" sigma_delta={trainer.sigma_delta}, kappa={trainer.kappa}")

@@ -85,7 +85,7 @@ def _forward_pallas(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
 
-def _kernel_fulllane(q_ref, k_ref, v_ref, bd_ref, o_ref):
+def _kernel_fulllane(q_ref, k_ref, v_ref, bd_ref, o_ref, *, dim_head: int):
     """One batch-element cell with ALL heads packed in lanes: refs [1, N, F]
     where F = H*D (=128 -> full lane utilization).
 
@@ -99,8 +99,7 @@ def _kernel_fulllane(q_ref, k_ref, v_ref, bd_ref, o_ref):
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     bd = bd_ref[:].astype(jnp.float32)
-    f = q.shape[-1]
-    d = jnp.float32(32.0)  # per-head dim (bd encodes the actual grouping)
+    d = jnp.float32(dim_head)  # static per-head dim (bd encodes the grouping)
 
     # --- q': per-head-group softmax over lanes
     q_shift = q - jnp.max(q, axis=-1, keepdims=True)
@@ -123,6 +122,8 @@ def _kernel_fulllane(q_ref, k_ref, v_ref, bd_ref, o_ref):
 
 
 def _forward_pallas_fulllane(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    import functools
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -135,7 +136,7 @@ def _forward_pallas_fulllane(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Ar
     spec = pl.BlockSpec((1, n, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     bd_spec = pl.BlockSpec((f, f), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _kernel_fulllane,
+        functools.partial(_kernel_fulllane, dim_head=d),
         out_shape=jax.ShapeDtypeStruct((b, n, f), q.dtype),
         grid=(b,),
         in_specs=[spec, spec, spec, bd_spec],

@@ -93,6 +93,7 @@ class CcGANConfig:
     visualize_freq: int = 2000
     results_folder: str = "./ccgan_results"
     log_every: int = 20
+    seed: int = 31  # base of the per-step PRNG stream (--seed)
 
 
 class CcGANTrainer:
@@ -314,7 +315,7 @@ class CcGANTrainer:
         if self._steps is None:
             self._steps = self._build_steps()
         d_plain, d_nda, g_step = self._steps
-        base = jax.random.PRNGKey(31)
+        base = jax.random.PRNGKey(cfg.seed)
         step = int(self.state["step"])
         while step < cfg.niters:
             key = jax.random.fold_in(base, step)

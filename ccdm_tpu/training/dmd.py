@@ -72,6 +72,7 @@ class DMDConfig:
     save_every: int = 5000
     results_folder: str = "./dmd_results"
     log_every: int = 250
+    seed: int = 42  # base of the per-step PRNG stream (--seed)
 
 
 class DMD2Trainer:
@@ -347,7 +348,7 @@ class DMD2Trainer:
         logger = TrainLogger(cfg.results_folder, cfg.niters)
         if self._g_step is None:
             self._g_step, self._d_step = self._build_steps()
-        base = jax.random.PRNGKey(42)
+        base = jax.random.PRNGKey(cfg.seed)
         step = int(self.state["step"])
         while step < cfg.niters:
             key = jax.random.fold_in(base, step)

@@ -88,6 +88,9 @@ class TrainerConfig:
     sample_timesteps_visual: Optional[int] = None
     # logging cadence
     log_every: int = 500
+    # base of the per-step PRNG stream (--seed; the reference seeds
+    # torch/numpy globally at main.py:50-54)
+    seed: int = 0
 
 
 class Trainer:
@@ -220,12 +223,16 @@ class Trainer:
         use_batch_weights = cfg.vicinal_mode == "batch" and cfg.vicinity_type != "none"
 
         def loss_fn(params, batch_stats, key):
-            images01, cond_labels, loss_labels, labels_emb, weights, kappa = self._make_batch(key, fn_y2h)
+            # distinct streams: with threefry, split(key,3) == split(key,6)[:3],
+            # so reusing `key` for both the batch draw and the loss would make
+            # the CFG drop mask overlap the vicinity-selection uniforms.
+            k_batch, k_loss = jax.random.split(key)
+            images01, cond_labels, loss_labels, labels_emb, weights, kappa = self._make_batch(k_batch, fn_y2h)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
             loss, updates = diffusion.loss(
-                variables, key, images01, loss_labels, labels_emb,
+                variables, k_loss, images01, loss_labels, labels_emb,
                 vicinal_weights=weights if use_batch_weights else None,
                 kappa=kappa, train=True,
             )
@@ -234,12 +241,13 @@ class Trainer:
         # vanilla "target" mode: the trainer-computed per-sample weights are
         # applied directly (no intra-batch pairwise weighting).
         def loss_fn_target(params, batch_stats, key):
-            images01, cond_labels, loss_labels, labels_emb, weights, kappa = self._make_batch(key, fn_y2h)
+            k_batch, k_loss = jax.random.split(key)
+            images01, cond_labels, loss_labels, labels_emb, weights, kappa = self._make_batch(k_batch, fn_y2h)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
             loss, updates = diffusion.weighted_loss(
-                variables, key, images01, loss_labels, labels_emb, weights, train=True,
+                variables, k_loss, images01, loss_labels, labels_emb, weights, train=True,
             )
             return loss, updates
 
@@ -286,7 +294,7 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._build_train_step(fn_y2h)
 
-        base_key = jax.random.PRNGKey(0)
+        base_key = jax.random.PRNGKey(cfg.seed)
         step = int(self.state.step)
         window_t0 = time.perf_counter()
         window_start = step

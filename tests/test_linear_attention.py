@@ -39,6 +39,27 @@ def test_fulllane_kernel_interpret_matches_reference(rng, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("h,d", [(2, 64), (8, 16), (1, 128)])
+def test_fulllane_kernel_non32_head_dims(rng, monkeypatch, h, d):
+    """Regression: the q-softmax scale must use the REAL per-head dim, not a
+    hardcoded 32 — any (h*d)%128==0 shape passes the dispatch guard (e.g.
+    --attn_dim_head 64), so a wrong scale silently mis-weights attention."""
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    q, k, v = (jnp.asarray(rng.normal(0, 2, (2, 64, h, d)).astype(np.float32))
+               for _ in range(3))
+    want = np.asarray(la.linear_attention_reference(q, k, v))
+    got = np.asarray(la._forward_pallas_fulllane(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
+
+
 def test_guard_routes_large_n_to_reference(rng):
     """N*H*D beyond the VMEM guard must not attempt the kernel (CPU backend
     already falls back; this checks the guard logic is importable/sane)."""

@@ -182,3 +182,50 @@ def test_sample_given_labels(tmp_path):
     )
     assert imgs.shape == (4, IMG, IMG, NC)
     assert imgs.dtype == np.uint8
+
+
+def test_rng_streams_batch_vs_loss_distinct(tmp_path, monkeypatch):
+    """Regression (round-1 VERDICT): loss_fn must pass DISTINCT keys to
+    _make_batch and diffusion.loss — with threefry, split(key,3) equals
+    split(key,6)[:3], so reusing the step key makes the CFG drop mask
+    bit-identical to the vicinity-selection uniforms."""
+    trainer, _ = build_trainer(tmp_path, vicinity_type="hv", steps=1)
+    seen = {}
+    orig_batch = trainer._make_batch
+    orig_loss = trainer.diffusion.loss
+
+    def spy_batch(key, fn_y2h):
+        seen["batch"] = key
+        return orig_batch(key, fn_y2h)
+
+    def spy_loss(variables, key, *a, **kw):
+        seen["loss"] = key
+        return orig_loss(variables, key, *a, **kw)
+
+    monkeypatch.setattr(trainer, "_make_batch", spy_batch)
+    monkeypatch.setattr(trainer.diffusion, "loss", spy_loss)
+    from ccdm_tpu.embedding import make_fn_y2h
+    step_fn = trainer._build_train_step(make_fn_y2h(128))
+    with jax.disable_jit():
+        step_fn(trainer.state, jax.random.PRNGKey(7))
+    k_batch, k_loss = np.asarray(seen["batch"]), np.asarray(seen["loss"])
+    assert not np.array_equal(k_batch, k_loss)
+    # and the derived sub-streams must not overlap either
+    sub_batch = np.asarray(jax.random.split(jnp.asarray(k_batch), 3))
+    sub_loss = np.asarray(jax.random.split(jnp.asarray(k_loss), 6))
+    for kb in sub_batch:
+        for kl in sub_loss:
+            assert not np.array_equal(kb, kl)
+
+
+def test_trainer_seed_changes_stream(tmp_path):
+    """--seed must govern the training PRNG stream (round-1 VERDICT weak #2)."""
+    t0, _ = build_trainer(tmp_path / "a", steps=1, seed=0)
+    t1, _ = build_trainer(tmp_path / "b", steps=1, seed=123)
+    from ccdm_tpu.embedding import make_fn_y2h
+    fn = make_fn_y2h(128)
+    t0.train(fn, progress=False)
+    t1.train(fn, progress=False)
+    p0 = np.asarray(jax.tree_util.tree_leaves(t0.state.params)[0])
+    p1 = np.asarray(jax.tree_util.tree_leaves(t1.state.params)[0])
+    assert not np.allclose(p0, p1)
