@@ -43,3 +43,29 @@ def shard_batch(x, mesh: Mesh, axis_name: str = "data"):
         lambda leaf: jax.lax.with_sharding_constraint(leaf, NamedSharding(mesh, spec)),
         x,
     )
+
+
+def constrain_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
+    """Inside-jit sharding constraint for batch tensors: shard the leading dim
+    over the mesh axis so XLA partitions the downstream forward/backward
+    across chips and inserts the grad all-reduce over ICI.
+
+    This is what turns the replicated-everything step into real data
+    parallelism: the batch is *generated* inside jit from a replicated key
+    (vicinity gather), so without an explicit constraint every chip computes
+    the identical full batch. Leaves whose leading dim is not divisible by
+    the mesh size (or None) pass through unchanged; single-device meshes are
+    a no-op for XLA.
+    """
+    n = mesh.size
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def one(a):
+        if a is None or not hasattr(a, "shape") or a.ndim == 0:
+            return a
+        if n > 1 and a.shape[0] % n == 0:
+            return jax.lax.with_sharding_constraint(a, sharding)
+        return a
+
+    out = tuple(one(a) for a in arrays)
+    return out if len(out) != 1 else out[0]

@@ -33,7 +33,7 @@ import optax
 
 from ccdm_tpu.ops.image import augment_for_dataset, normalize_images
 from ccdm_tpu.ops.vicinal import soft_weights_from_targets
-from ccdm_tpu.parallel import create_mesh, replicated
+from ccdm_tpu.parallel import constrain_batch, create_mesh, replicated
 from ccdm_tpu.training.diffaugment import diff_augment, rand_cutout
 from ccdm_tpu.training.hyperparams import compute_vicinal_hyperparams
 from ccdm_tpu.training.vicinity import (
@@ -213,13 +213,15 @@ class CcGANTrainer:
             lb = jnp.clip(targets - radius, 0.0, 1.0)
             ub = jnp.clip(targets + radius, 0.0, 1.0)
             fake_labels = lb + jax.random.uniform(k_fl, targets.shape) * (ub - lb)
-            return targets, real, real_labels, fake_labels
+            return constrain_batch(self.mesh, targets, real, real_labels, fake_labels)
 
         def d_step(state, key, use_nda):
             keys = jax.random.split(key, 8)
             targets, real, real_labels, fake_labels = draw_common(keys[0])
             target_emb = self.fn_y2h(targets.reshape(-1))
-            z = jax.random.normal(keys[1], (cfg.batch_size_disc, cfg.dim_gan))
+            z = constrain_batch(
+                self.mesh, jax.random.normal(keys[1], (cfg.batch_size_disc, cfg.dim_gan))
+            )
             fake, _ = self._g_apply(state["g_params"], state["g_stats"], z,
                                     self.fn_y2h(fake_labels.reshape(-1)), train=False)
             fake = jax.lax.stop_gradient(fake)
@@ -281,7 +283,10 @@ class CcGANTrainer:
             k_t, k_z, k_aug = jax.random.split(key, 3)
             targets = sample_target_labels(k_t, self.unique_labels, cfg.batch_size_gene, self.kernel_sigma)
             emb = self.fn_y2h(targets.reshape(-1))
-            z = jax.random.normal(k_z, (cfg.batch_size_gene, cfg.dim_gan))
+            targets, emb = constrain_batch(self.mesh, targets, emb)
+            z = constrain_batch(
+                self.mesh, jax.random.normal(k_z, (cfg.batch_size_gene, cfg.dim_gan))
+            )
 
             def loss_fn(g_params):
                 fake, upd = self._g_apply(g_params, state["g_stats"], z, emb, train=True)

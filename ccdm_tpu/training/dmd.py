@@ -37,7 +37,7 @@ import optax
 
 from ccdm_tpu.ops.image import augment_for_dataset, normalize_images
 from ccdm_tpu.ops.schedule import Schedule, make_schedule, q_sample
-from ccdm_tpu.parallel import create_mesh, replicated
+from ccdm_tpu.parallel import constrain_batch, create_mesh, replicated
 from ccdm_tpu.training.diffaugment import diff_augment
 from ccdm_tpu.training.hyperparams import compute_vicinal_hyperparams
 from ccdm_tpu.training.vicinity import sample_target_labels, select_vicinity_indices
@@ -258,8 +258,10 @@ class DMD2Trainer:
         b = cfg.train_batch_size
         if self.kappa == 0:
             idx = jax.random.randint(key, (b,), 0, self.train_labels.shape[0])
-            return self.train_labels[idx]
-        return sample_target_labels(key, self.unique_labels, b, self.kernel_sigma)
+            return constrain_batch(self.mesh, self.train_labels[idx])
+        return constrain_batch(
+            self.mesh, sample_target_labels(key, self.unique_labels, b, self.kernel_sigma)
+        )
 
     def _draw_real_batch(self, key, targets):
         cfg = self.cfg
@@ -268,6 +270,7 @@ class DMD2Trainer:
             idx = jax.random.randint(k_sel, (cfg.train_batch_size,), 0, self.train_labels.shape[0])
         else:
             idx = select_vicinity_indices(k_sel, targets, self.train_labels, self.kappa, "hv")
+        idx = constrain_batch(self.mesh, idx)
         imgs = augment_for_dataset(cfg.data_name, k_aug, self.train_images[idx])
         return normalize_images(imgs, to_neg_one_to_one=True)  # D works in [-1,1] (dmd.py:769)
 
@@ -288,7 +291,9 @@ class DMD2Trainer:
         def g_step(state, key):
             k_lbl, k_z, k_dm, k_adv = jax.random.split(key, 4)
             targets = self._draw_target_labels(k_lbl)
-            z = jax.random.normal(k_z, (cfg.train_batch_size, cfg.z_dim))
+            z = constrain_batch(
+                self.mesh, jax.random.normal(k_z, (cfg.train_batch_size, cfg.z_dim))
+            )
             emb = self.fn_y2h(targets.reshape(-1))
 
             def loss_fn(gen_params):
@@ -316,7 +321,9 @@ class DMD2Trainer:
             targets = self._draw_target_labels(k_lbl)
             real = self._draw_real_batch(k_real, targets)
             fake_labels = self._draw_fake_labels(k_fl, targets)
-            z = jax.random.normal(k_z, (cfg.train_batch_size, cfg.z_dim))
+            z = constrain_batch(
+                self.mesh, jax.random.normal(k_z, (cfg.train_batch_size, cfg.z_dim))
+            )
             gvars = {"params": state["gen_params"]}
             if state["gen_stats"]:
                 gvars["batch_stats"] = state["gen_stats"]

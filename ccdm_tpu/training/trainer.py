@@ -32,7 +32,7 @@ import optax
 from ccdm_tpu.diffusion import GaussianDiffusion
 from ccdm_tpu.ops.image import augment_for_dataset, normalize_images, to_uint8
 from ccdm_tpu.ops.vicinal import hard_weights_from_targets, soft_weights_from_targets
-from ccdm_tpu.parallel import create_mesh, replicated
+from ccdm_tpu.parallel import constrain_batch, create_mesh, replicated
 from ccdm_tpu.training.hyperparams import compute_vicinal_hyperparams
 from ccdm_tpu.training.state import (
     EmaConfig,
@@ -204,6 +204,12 @@ class Trainer:
                 else:
                     weights = jnp.ones((b,), jnp.float32)
 
+        # Shard the batch over the data axis HERE, at the selection boundary:
+        # the gather from the replicated dataset and everything downstream
+        # (augment, UNet fwd/bwd) then run partitioned, and XLA inserts the
+        # grad all-reduce over ICI. Without this every chip would compute the
+        # identical full batch (the indices come from a replicated key).
+        idx = constrain_batch(self.mesh, idx)
         real_labels = self.train_labels[idx]
         imgs_u8 = self.train_images[idx]
         imgs_u8 = augment_for_dataset(cfg.data_name, k_aug, imgs_u8)
@@ -212,6 +218,9 @@ class Trainer:
         cond_labels = targets if cfg.condition_on_target else real_labels
         loss_labels = real_labels
         labels_emb = fn_y2h(cond_labels)
+        images01, cond_labels, loss_labels, labels_emb, weights = constrain_batch(
+            self.mesh, images01, cond_labels, loss_labels, labels_emb, weights
+        )
         batch_kappa = kappa if cfg.vicinity_type != "none" else self.kappa
         return images01, cond_labels, loss_labels, labels_emb, weights, batch_kappa
 

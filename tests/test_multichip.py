@@ -55,3 +55,29 @@ def test_trainer_step_on_mesh(tmp_path, devices8):
     trainer.mesh = mesh
     trainer.train(make_fn_y2h(128), progress=False)
     assert int(trainer.state.step) == 2
+
+
+def test_train_step_actually_partitions(tmp_path, devices8):
+    """The jitted train step must SHARD the batch over the data axis — i.e.
+    the compiled module contains a cross-replica all-reduce for the grads —
+    and the sharded loss must equal the single-device loss (the constraint
+    changes placement, not math)."""
+    from tests.test_trainer import build_trainer
+    from ccdm_tpu.embedding import make_fn_y2h
+
+    fn_y2h = make_fn_y2h(128)
+    key = jax.random.PRNGKey(3)
+
+    trainer8, _ = build_trainer(tmp_path / "m8", "hv", steps=1)
+    trainer8.mesh = create_mesh(devices8)
+    step8 = trainer8._build_train_step(fn_y2h)
+    hlo = step8.lower(trainer8.state, key).compile().as_text()
+    assert "all-reduce" in hlo, "no grad all-reduce: batch is not sharded over the mesh"
+    _, loss8 = step8(trainer8.state, key)
+
+    trainer1, _ = build_trainer(tmp_path / "m1", "hv", steps=1)
+    trainer1.mesh = create_mesh(devices8[:1])
+    step1 = trainer1._build_train_step(fn_y2h)
+    _, loss1 = step1(trainer1.state, key)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=2e-3)
