@@ -132,7 +132,6 @@ class GaussianDiffusion:
         c = self.config
         sched = self.schedule
         b = images01.shape[0]
-        chw = c.channels * c.image_size * c.image_size
 
         k_t, k_mask, k_noise, k_null, k_offset, k_proj = jax.random.split(key, 6)
 
@@ -190,8 +189,11 @@ class GaussianDiffusion:
             w = classic_batch_weights(labels2d, kappa, is_hard, c.distance, null_mask)
 
         # reference final reduction: sum(w * per_sample_pixel_SUM) / (b*chw)
-        # == sum(w * per_sample_pixel_mean) / b
-        loss = jnp.sum(w * vicinal_weights * per_sample) / b
+        # == sum(w * per_sample_pixel_mean) / b. NOTE vicinal_weights acts as
+        # a GATE only — the unified reference never multiplies its values in
+        # (diffusion.py:597-733); per-sample weighted reduction is
+        # weighted_loss() (the vanilla-tree semantics).
+        loss = jnp.sum(w * per_sample) / b
         return loss, updates
 
     def weighted_loss(
