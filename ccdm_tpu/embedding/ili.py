@@ -181,6 +181,7 @@ class LabelEmbed:
         epochs_mlp_y2cov: int = 500,
         batch_size: int = 256,
         seed: int = 0,
+        dim_combination: str = "mean",
     ):
         self.dim_embed = dim_embed
         embed_dir = os.path.join(path, "embed_models")
@@ -193,6 +194,7 @@ class LabelEmbed:
 
         # ---- y2h
         tag = f"y2h_d{dim_embed}_e{epochs_cnn}_m{epochs_mlp}_seed{seed}"
+        resnet_vars = None  # only set on a fresh training run (not cache reload)
         if checkpoint_exists(embed_dir, tag):
             stored = load_checkpoint(embed_dir, tag)
             mlp_vars = stored["mlp"]
@@ -210,12 +212,29 @@ class LabelEmbed:
         mlp = ModelY2H(dim_embed)
         mlp_params = jax.device_put(mlp_vars)
 
+        # multi-dim combiner (ref label_embedding.py:875-1005 supports
+        # mean/weighted/attention/cross/cross_attention on the trained-ILI
+        # path too). The reference instantiates the combiner modules but never
+        # includes them in any optimizer, so fixed-seed init reproduces its
+        # behavior deterministically (same convention as embedding/analytic.py).
+        combiner_apply = None
+        if dim_combination != "mean" and label_dim > 1:
+            from ccdm_tpu.embedding.combine import make_combiner
+
+            combiner = make_combiner(dim_combination, dim_embed, label_dim)
+            cvars = combiner.init(
+                jax.random.PRNGKey(seed + 7), jnp.zeros((label_dim, 1, dim_embed))
+            )
+            combiner_apply = lambda stacked: combiner.apply(cvars, stacked)
+
         def fn_y2h(y):
             y = jnp.asarray(y, jnp.float32)
             if y.ndim <= 1 or y.shape[-1] == 1:
                 return mlp.apply(mlp_params, y.reshape(-1))
-            # multi-dim: per-dim embed then mean-combine (label_embedding.py:875-1005)
+            # multi-dim: per-dim embed then combine (label_embedding.py:875-1005)
             per_dim = jnp.stack([mlp.apply(mlp_params, y[:, d]) for d in range(y.shape[1])])
+            if combiner_apply is not None:
+                return combiner_apply(per_dim)
             return jnp.mean(per_dim, axis=0)
 
         self.fn_y2h = fn_y2h
@@ -223,7 +242,7 @@ class LabelEmbed:
         # y -> h -> y_hat sanity roundtrip printout (vanilla main.py:245-275,
         # label_embedding.py:566-615) — requires the frozen h2y head, which we
         # only have right after training; skip on cache reload.
-        if "resnet_vars" in dir():
+        if resnet_vars is not None:
             h2y_k = resnet_vars["params"]["h2y"]["kernel"]
             h2y_b = resnet_vars["params"]["h2y"]["bias"]
             probe = jnp.asarray(np.quantile(uniq[:, 0], [0.1, 0.5, 0.9]), jnp.float32)

@@ -40,6 +40,19 @@ def get_eval_labels(bundle, args) -> np.ndarray:
     return np.linspace(all_unique.min(), all_unique.max(), num)
 
 
+def resolve_label_embed(args) -> None:
+    """--label_embed picks the embedding pipeline family (ref main.py:303-338):
+    ccdm1 -> y2h only; ccdm2 -> y2h + y2cov (the Hy covariance source);
+    random -> Gaussian-Fourier y2h, no training. Mutates args in place."""
+    if args.label_embed == "random":
+        args.y2h_embed_type = "gaussian"
+    if args.use_Hy and args.label_embed != "ccdm2":
+        raise SystemExit(
+            f"--use_Hy needs the y2cov pipeline: --label_embed ccdm2 "
+            f"(got {args.label_embed})"
+        )
+
+
 def build_model(args, image_size: int, channels: int):
     from ccdm_tpu.models import Unet, ViT
     from ccdm_tpu.models.unet_adm import ADMUnet
@@ -118,6 +131,7 @@ def main(argv=None):
         print(f"\r Auto-set num_projections={args.num_projections} for label_dim={d}")
 
     # label embedding
+    resolve_label_embed(args)
     if args.y2h_embed_type == "resnet":
         from ccdm_tpu.embedding.ili import LabelEmbed
         le = LabelEmbed(bundle, setting_folder, dim_embed=args.dim_embed,
@@ -125,7 +139,8 @@ def main(argv=None):
                         y2cov_type=args.y2cov_embed_type if args.use_Hy else None,
                         cov_dim=bundle.channels * bundle.image_size**2,
                         epochs_cnn=args.epoch_cnn_embed, epochs_mlp=args.epoch_net_y2h,
-                        batch_size=args.batch_size_embed, seed=args.seed)
+                        batch_size=args.batch_size_embed, seed=args.seed,
+                        dim_combination=args.dim_combination)
         fn_y2h = le.fn_y2h
         fn_y2cov = le.fn_y2cov if args.use_Hy else None
     else:
@@ -277,7 +292,10 @@ def main(argv=None):
 
     if args.comp_FID:
         from ccdm_tpu.eval.sfid import sliding_window_eval
-        from ccdm_tpu.eval.metrics import cal_FID, cal_labelscore, inception_score
+        from ccdm_tpu.eval.metrics import (
+            cal_FID, cal_labelscore, compute_prdc, extract_features,
+            inception_score, intra_class_fid,
+        )
         from ccdm_tpu.eval.train_backbones import get_eval_models
 
         fakes = np.concatenate(all_fake_images, axis=0)
@@ -326,6 +344,23 @@ def main(argv=None):
             float(min(args.min_label, 0.0)),
             float(args.max_label + abs(min(args.min_label, 0.0))),
         )
+        prdc = None
+        if args.comp_prdc:
+            # PRDC over the same feature net as FID (StudioGAN worker parity,
+            # metrics/prdc.py:128-168)
+            Xr = extract_features(fid_net.apply, fid_v, real_images)
+            Xg = extract_features(fid_net.apply, fid_v, fakes)
+            prdc = compute_prdc(Xr, Xg, nearest_k=args.prdc_nearest_k)
+
+        ifid = None
+        if args.comp_intra_fid:
+            # per-label-value FID (StudioGAN worker.py:1392-1466 'iFID'; the
+            # CCGM analog uses raw label values as classes)
+            ifid_m, ifid_s, _ = intra_class_fid(
+                fid_net.apply, fid_v, real_images, real_labels, fakes, flabels,
+            )
+            ifid = (ifid_m, ifid_s)
+
         sfid_m, sfid_s = res.sfid
         div_m, div_s = res.diversity
         eval_path = os.path.join(setting_folder, f"eval_results_niters{args.niters}.txt")
@@ -339,8 +374,19 @@ def main(argv=None):
             f.write(f"\n LS: {ls_all:.3f} ({ls_std:.3f}).")
             f.write(f"\n Diversity: {div_m:.3f} ({div_s:.3f}).")
             f.write(f"\n FID: {fid_all:.3f}.")
+            if prdc is not None:
+                f.write(f"\n PRDC (k={args.prdc_nearest_k}): "
+                        f"precision {prdc['precision']:.3f}, recall {prdc['recall']:.3f}, "
+                        f"density {prdc['density']:.3f}, coverage {prdc['coverage']:.3f}.")
+            if ifid is not None:
+                f.write(f"\n Intra-class FID: {ifid[0]:.3f} ({ifid[1]:.3f}).")
         print(f"\n SFID: {sfid_m:.3f}({sfid_s:.3f})  LS: {ls_all:.3f}  "
               f"Diversity: {div_m:.3f}  FID: {fid_all:.3f}")
+        if prdc is not None:
+            print(f" PRDC: P={prdc['precision']:.3f} R={prdc['recall']:.3f} "
+                  f"D={prdc['density']:.3f} C={prdc['coverage']:.3f}")
+        if ifid is not None:
+            print(f" iFID: {ifid[0]:.3f}({ifid[1]:.3f})")
 
 
 if __name__ == "__main__":

@@ -28,7 +28,9 @@ def parse_opts(argv=None):
     parser.add_argument("--architecture", type=str, default="unet",
                         choices=["unet", "vit", "adm"],
                         help="unet/vit = unified tree; adm = vanilla tree's GroupNorm UNet")
-    parser.add_argument("--label_embed", type=str, default="ccdm2", choices=["ccdm1", "ccdm2", "random"])
+    parser.add_argument("--label_embed", type=str, default="ccdm2", choices=["ccdm1", "ccdm2", "random"],
+                        help="embedding pipeline family (ref main.py:303-338): ccdm1=y2h only, "
+                             "ccdm2=y2h+y2cov (enables --use_Hy), random=Gaussian-Fourier y2h")
     parser.add_argument("--vicinity_type", type=str, default=None,
                         choices=["shv", "ssv", "hv", "sv", "none"])
     parser.add_argument("--threshold_type", type=str, default=None, choices=["hard", "soft"],
@@ -43,7 +45,7 @@ def parse_opts(argv=None):
     parser.add_argument("--percentile", type=float, default=5.0)
     parser.add_argument("--num_projections", type=int, default=1)
     parser.add_argument("--dim_combination", type=str, default="mean",
-                        choices=["mean", "weighted", "attention", "cross"])
+                        choices=["mean", "weighted", "attention", "cross", "cross_attention"])
 
     # Dataset
     parser.add_argument("--min_label", type=float, default=0.0)
@@ -123,6 +125,12 @@ def parse_opts(argv=None):
     parser.add_argument("--dump_fake_for_NIQE", action="store_true", default=False)
     parser.add_argument("--niqe_dump_path", type=str, default="None")
     parser.add_argument("--comp_IS_and_FID_only", action="store_true", default=False)
+    parser.add_argument("--comp_prdc", action="store_true", default=False,
+                        help="precision/recall/density/coverage over the FID feature net "
+                             "(StudioGAN metrics/prdc.py parity)")
+    parser.add_argument("--prdc_nearest_k", type=int, default=5)
+    parser.add_argument("--comp_intra_fid", action="store_true", default=False,
+                        help="per-label-value FID (StudioGAN worker.py iFID parity)")
     parser.add_argument("--epochs_eval_ae", type=int, default=10,
                         help="epochs for training the SFID autoencoder backbone")
     parser.add_argument("--epochs_eval_cnn", type=int, default=20,

@@ -48,6 +48,39 @@ def test_highdim_subsampling():
     assert e.shape == (2, 32)
 
 
+@pytest.mark.parametrize("kind", ["weighted", "attention", "cross", "cross_attention"])
+def test_multidim_combiners(kind):
+    """Each learned combiner (ref label_embedding.py:875-1005) produces the
+    right shape, is deterministic, and (except softmax-uniform 'weighted',
+    which starts at mean) differs from the mean combination."""
+    y = jnp.asarray(np.random.default_rng(0).uniform(0.1, 0.9, (4, 3)), jnp.float32)
+    fn = make_fn_y2h(64, "sinusoidal", label_dim=3, dim_combination=kind)
+    e = fn(y)
+    assert e.shape == (4, 64)
+    np.testing.assert_array_equal(np.asarray(fn(y)), np.asarray(e))  # deterministic
+    e_mean = make_fn_y2h(64, "sinusoidal", label_dim=3)(y)
+    if kind not in ("weighted",):  # uniform-softmax init == mean
+        assert float(jnp.abs(e - e_mean).max()) > 1e-4
+
+
+def test_label_embed_flag_drives_behavior():
+    """--label_embed must map onto pipeline behavior (VERDICT weak-6):
+    random forces the gaussian y2h; ccdm1/random + use_Hy is rejected."""
+    from ccdm_tpu.main import resolve_label_embed
+    from ccdm_tpu.opts import parse_opts
+
+    args = parse_opts(["--label_embed", "random"])
+    resolve_label_embed(args)
+    assert args.y2h_embed_type == "gaussian"
+
+    args = parse_opts(["--label_embed", "ccdm1", "--use_Hy"])
+    with pytest.raises(SystemExit):
+        resolve_label_embed(args)
+
+    args = parse_opts(["--label_embed", "ccdm2", "--use_Hy"])
+    resolve_label_embed(args)  # ok
+
+
 def test_embedding_distinguishes_labels():
     fn = make_fn_y2h(128)
     e = np.asarray(fn(jnp.array([0.1, 0.9])))
@@ -75,6 +108,30 @@ def test_label_mlps():
     vc = mc.init(k, jnp.zeros((4,)))
     outc = mc.apply(vc, jnp.linspace(0, 1, 4))
     assert outc.shape == (4, 48) and float(outc.min()) >= 0
+
+
+@pytest.mark.slow
+def test_ili_multidim_combiner(tmp_path):
+    """The trained-ILI fn_y2h must route multi-dim labels through the
+    requested combiner (VERDICT missing-5; ref label_embedding.py:875-1005)."""
+    from ccdm_tpu.data.datasets import DatasetBundle
+    from ccdm_tpu.embedding.ili import LabelEmbed
+
+    rng = np.random.default_rng(0)
+    labels = rng.uniform(0.1, 0.9, (48, 2)).astype(np.float64)
+    images = np.clip(labels.mean(1)[:, None, None, None] * 255
+                     + rng.normal(0, 25, (48, 16, 16, 3)), 0, 255).astype(np.uint8)
+    fn_id = lambda y: np.asarray(y, float)
+    ds = DatasetBundle("synthetic", images, labels, labels, fn_id, fn_id)
+
+    le_cross = LabelEmbed(ds, str(tmp_path / "c"), dim_embed=16, epochs_cnn=1,
+                          epochs_mlp=1, batch_size=32, dim_combination="cross")
+    le_mean = LabelEmbed(ds, str(tmp_path / "m"), dim_embed=16, epochs_cnn=1,
+                         epochs_mlp=1, batch_size=32)
+    y = jnp.asarray(labels[:4], jnp.float32)
+    e_cross, e_mean = le_cross.fn_y2h(y), le_mean.fn_y2h(y)
+    assert e_cross.shape == (4, 16)
+    assert float(jnp.abs(e_cross - e_mean).max()) > 1e-5
 
 
 @pytest.mark.slow
