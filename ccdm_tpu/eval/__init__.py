@@ -6,5 +6,7 @@ from ccdm_tpu.eval.metrics import (
     predict_class_labels,
     compute_entropy,
     inception_score,
+    compute_prdc,
+    intra_class_fid,
 )
 from ccdm_tpu.eval.sfid import sliding_window_eval

@@ -115,6 +115,76 @@ def compute_entropy(labels: np.ndarray, base: Optional[float] = None) -> float:
     return float(-(p * np.log(p) / np.log(base)).sum())
 
 
+def _pairwise_euclidean(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """[N,d] x [M,d] -> [N,M] Euclidean distances (f32, MXU-friendly)."""
+    x2 = jnp.sum(x * x, axis=1)[:, None]
+    y2 = jnp.sum(y * y, axis=1)[None, :]
+    sq = x2 + y2 - 2.0 * (x @ y.T)
+    return jnp.sqrt(jnp.maximum(sq, 0.0))
+
+
+def _kth_nn_radius(feats: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Distance to the k-th nearest neighbour (self excluded) per row —
+    the manifold radius of StudioGAN prdc.py:101-126."""
+    d = _pairwise_euclidean(feats, feats)
+    # k+1 smallest includes the 0 self-distance; its max is the k-th NN
+    neg_topk, _ = jax.lax.top_k(-d, k + 1)
+    return -neg_topk[:, -1]
+
+
+def compute_prdc(real_features: np.ndarray, fake_features: np.ndarray,
+                 nearest_k: int = 5) -> dict:
+    """Precision / Recall / Density / Coverage (Naeem et al. 2020).
+
+    Numerical semantics of `StudioGAN/metrics/prdc.py:128-168`, re-designed
+    as one jitted pairwise computation (the reference shells out to sklearn
+    with n_jobs=8); suitable for the per-window set sizes of the SFID
+    protocol (thousands of samples).
+    """
+    xr = jnp.asarray(np.asarray(real_features, np.float32))
+    xg = jnp.asarray(np.asarray(fake_features, np.float32))
+
+    @jax.jit
+    def _prdc(xr, xg):
+        r_radii = _kth_nn_radius(xr, nearest_k)  # [Nr]
+        f_radii = _kth_nn_radius(xg, nearest_k)  # [Nf]
+        d_rf = _pairwise_euclidean(xr, xg)  # [Nr, Nf]
+        in_real_manifold = d_rf < r_radii[:, None]
+        precision = jnp.mean(jnp.any(in_real_manifold, axis=0))
+        recall = jnp.mean(jnp.any(d_rf < f_radii[None, :], axis=1))
+        density = jnp.mean(jnp.sum(in_real_manifold, axis=0)) / nearest_k
+        coverage = jnp.mean(jnp.min(d_rf, axis=1) < r_radii)
+        return precision, recall, density, coverage
+
+    p, r, d, c = (float(v) for v in _prdc(xr, xg))
+    return dict(precision=p, recall=r, density=d, coverage=c)
+
+
+def intra_class_fid(apply_fn: Callable, variables: dict,
+                    images_real: np.ndarray, classes_real: np.ndarray,
+                    images_fake: np.ndarray, classes_fake: np.ndarray,
+                    batch_size: int = 200, norm_img: bool = True,
+                    min_per_class: int = 2):
+    """Per-class FID (StudioGAN worker.py:1392-1466 'iFID'): features are
+    extracted once, then Frechet distance per shared class. Returns
+    (mean, std, {class: fid}). Classes with fewer than min_per_class samples
+    on either side are skipped (covariance needs >=2)."""
+    Xr = extract_features(apply_fn, variables, images_real, batch_size, norm_img)
+    Xg = extract_features(apply_fn, variables, images_fake, batch_size, norm_img)
+    cr = np.asarray(classes_real).reshape(-1)
+    cg = np.asarray(classes_fake).reshape(-1)
+    fids = {}
+    for c in np.unique(cr):
+        mr, mg = cr == c, cg == c
+        if mr.sum() < min_per_class or mg.sum() < min_per_class:
+            continue
+        fids[c] = frechet_distance(Xr[mr], Xg[mg], eps=1e-6)
+    vals = np.array(list(fids.values()), dtype=np.float64)
+    if len(vals) == 0:
+        return float("nan"), float("nan"), fids
+    return float(vals.mean()), float(vals.std()), fids
+
+
 def inception_score(apply_fn: Callable, variables: dict, images: np.ndarray,
                     num_classes: int, batch_size: int = 32, splits: int = 1,
                     norm_img: bool = True) -> Tuple[float, float]:

@@ -9,8 +9,10 @@ from ccdm_tpu.eval import (
     cal_FID,
     cal_labelscore,
     compute_entropy,
+    compute_prdc,
     frechet_distance,
     inception_score,
+    intra_class_fid,
     predict_class_labels,
     sliding_window_eval,
 )
@@ -87,6 +89,67 @@ def test_cal_fid_and_labelscore(tiny_eval_nets, rng):
     assert preds.shape == (24,) and preds.max() < 5
     is_mean, is_std = inception_score(cls_net.apply, cls_v, fake, 5, batch_size=8)
     assert np.isfinite(is_mean) and is_mean >= 1.0 - 1e-3
+
+
+def test_prdc_identical_sets(rng):
+    """Same manifold -> every fake is inside the real manifold and vice
+    versa: precision = recall = coverage = 1, density ~ 1."""
+    X = rng.normal(0, 1, (256, 16)).astype(np.float32)
+    out = compute_prdc(X, X.copy(), nearest_k=5)
+    assert out["precision"] == pytest.approx(1.0)
+    assert out["recall"] == pytest.approx(1.0)
+    assert out["coverage"] == pytest.approx(1.0)
+    assert out["density"] > 0.9
+
+
+def test_prdc_disjoint_sets(rng):
+    """Far-apart manifolds -> precision/recall/coverage collapse to 0."""
+    X = rng.normal(0, 1, (256, 16)).astype(np.float32)
+    Y = rng.normal(100, 1, (256, 16)).astype(np.float32)
+    out = compute_prdc(X, Y, nearest_k=5)
+    assert out["precision"] == pytest.approx(0.0)
+    assert out["recall"] == pytest.approx(0.0)
+    assert out["density"] == pytest.approx(0.0)
+    assert out["coverage"] == pytest.approx(0.0)
+
+
+def test_prdc_matches_numpy_oracle(rng):
+    """Bitwise semantics vs a numpy transcription of StudioGAN
+    prdc.py:128-168 (kth-NN radii excluding self, strict <)."""
+    Xr = rng.normal(0, 1, (64, 8)).astype(np.float32)
+    Xg = rng.normal(0.5, 1.2, (48, 8)).astype(np.float32)
+    k = 3
+
+    def pd(a, b):
+        return np.sqrt(np.maximum(
+            (a * a).sum(1)[:, None] + (b * b).sum(1)[None] - 2 * a @ b.T, 0))
+
+    rr = np.sort(pd(Xr, Xr), axis=1)[:, k]  # k+1 smallest incl. self-0
+    fr = np.sort(pd(Xg, Xg), axis=1)[:, k]
+    drf = pd(Xr, Xg)
+    want = dict(
+        precision=(drf < rr[:, None]).any(0).mean(),
+        recall=(drf < fr[None, :]).any(1).mean(),
+        density=(drf < rr[:, None]).sum(0).mean() / k,
+        coverage=(drf.min(1) < rr).mean(),
+    )
+    got = compute_prdc(Xr, Xg, nearest_k=k)
+    for key in want:
+        assert got[key] == pytest.approx(float(want[key]), abs=1e-5), key
+
+
+def test_intra_class_fid(tiny_eval_nets, rng):
+    (fid_net, fid_v), _, _ = tiny_eval_nets
+    real = rng.integers(0, 255, (40, 16, 16, 3), dtype=np.uint8)
+    fake = rng.integers(0, 255, (40, 16, 16, 3), dtype=np.uint8)
+    classes = np.repeat(np.arange(4), 10)
+    m, s, per = intra_class_fid(fid_net.apply, fid_v, real, classes, fake, classes,
+                                batch_size=16)
+    assert np.isfinite(m) and len(per) == 4
+    # skipping classes absent on the fake side
+    m2, _, per2 = intra_class_fid(fid_net.apply, fid_v, real, classes,
+                                  fake[:20], classes[:20], batch_size=16)
+    assert len(per2) == 2
 
 
 def test_sliding_window_protocol(tiny_eval_nets, rng):
