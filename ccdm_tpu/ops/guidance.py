@@ -9,7 +9,8 @@ the two UNet passes themselves are batched into a single 2B forward by the
 sampler (see ccdm_tpu.diffusion.sampling), so guidance here is the only
 per-step epilogue. f32 throughout: the reference's f64 `project` exists for
 numerical safety of the normalization, which we get in f32 with an explicit
-eps (validated against f64 in tests to <1e-5).
+eps (tests/test_fidelity.py bounds the full-DDIM-chain drift vs an f64
+oracle to <1e-3 max-abs; tests/test_ops.py checks the op itself).
 """
 
 from __future__ import annotations
