@@ -15,7 +15,7 @@ from ccdm_tpu.training.diffaugment import (
 
 
 @pytest.mark.parametrize("G_cls,D_cls", [
-    (SNGANGenerator, SNGANDiscriminator),
+    pytest.param(SNGANGenerator, SNGANDiscriminator, marks=pytest.mark.slow),
     (SAGANGenerator, SAGANDiscriminator),
 ])
 def test_gan_shapes_64(G_cls, D_cls):

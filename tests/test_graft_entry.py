@@ -9,6 +9,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 
+@pytest.mark.slow  # the driver runs entry() directly every round
 def test_entry_compiles_and_runs():
     from __graft_entry__ import entry
 
@@ -18,6 +19,7 @@ def test_entry_compiles_and_runs():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow  # the driver runs dryrun_multichip directly every round
 def test_dryrun_multichip_8(devices8):
     from __graft_entry__ import dryrun_multichip
 

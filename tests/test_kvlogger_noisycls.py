@@ -32,6 +32,7 @@ def test_kvlogger_means_and_backends(tmp_path):
     assert float(rows[-1]["loss"]) == pytest.approx(5.0)
 
 
+@pytest.mark.slow
 def test_noisy_classifier_trains_and_guides(tmp_path, rng):
     from ccdm_tpu.diffusion import DiffusionConfig, GaussianDiffusion
     from ccdm_tpu.diffusion.guided import (

@@ -57,6 +57,7 @@ def test_trainer_step_on_mesh(tmp_path, devices8):
     assert int(trainer.state.step) == 2
 
 
+@pytest.mark.slow  # the driver-level dryrun_multichip gate covers this path
 def test_train_step_actually_partitions(tmp_path, devices8):
     """The jitted train step must SHARD the batch over the data axis — i.e.
     the compiled module contains a cross-replica all-reduce for the grads —

@@ -127,7 +127,11 @@ def test_hyperparams_percentile():
     assert sigma == pytest.approx(kappa / 3)
 
 
-@pytest.mark.parametrize("vicinity_type", ["hv", "shv", "none"])
+@pytest.mark.parametrize("vicinity_type", [
+    "hv",
+    pytest.param("shv", marks=pytest.mark.slow),
+    pytest.param("none", marks=pytest.mark.slow),
+])
 def test_train_loop_runs(tmp_path, vicinity_type):
     trainer, _ = build_trainer(tmp_path / vicinity_type, vicinity_type, steps=3)
     trainer.train(make_fn_y2h(128), progress=False)
@@ -184,6 +188,7 @@ def test_sample_given_labels(tmp_path):
     assert imgs.dtype == np.uint8
 
 
+@pytest.mark.slow
 def test_rng_streams_batch_vs_loss_distinct(tmp_path, monkeypatch):
     """Regression (round-1 VERDICT): loss_fn must pass DISTINCT keys to
     _make_batch and diffusion.loss — with threefry, split(key,3) equals
@@ -218,6 +223,7 @@ def test_rng_streams_batch_vs_loss_distinct(tmp_path, monkeypatch):
             assert not np.array_equal(kb, kl)
 
 
+@pytest.mark.slow
 def test_trainer_seed_changes_stream(tmp_path):
     """--seed must govern the training PRNG stream (round-1 VERDICT weak #2)."""
     t0, _ = build_trainer(tmp_path / "a", steps=1, seed=0)
