@@ -97,14 +97,20 @@ def _kernel_fulllane(q_ref, k_ref, v_ref, bd_ref, o_ref, *, dim_head: int):
     """
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    bd = bd_ref[:].astype(jnp.float32)
-    d = jnp.float32(dim_head)  # static per-head dim (bd encodes the grouping)
+    d = jnp.float32(dim_head)
+    # MXU operand dtype follows the input dtype: on the bf16 sampler path
+    # the dots run native bf16 x bf16 -> f32 (f32xf32 dots run the MXU at a
+    # fraction of bf16 rate and dominated this kernel's round-1 cost);
+    # f32 inputs keep exact f32 math. (Mosaic cannot reshape [N,F]->[N,H,D]
+    # for a VPU group reduce, so group sums stay on the MXU via bd.)
+    mxu = jnp.bfloat16 if o_ref.dtype == jnp.bfloat16 else jnp.float32
+    bd = bd_ref[:].astype(mxu)
 
-    # --- q': per-head-group softmax over lanes
+    # --- q': per-head-group softmax over lanes (global-row-max shift
+    # invariance; group sums from one block-diagonal ones matmul)
     q_shift = q - jnp.max(q, axis=-1, keepdims=True)
     eq = jnp.exp(q_shift)
-    group_sum = jax.lax.dot_general(eq, bd, (((1,), (0,)), ((), ())),
+    group_sum = jax.lax.dot_general(eq.astype(mxu), bd, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
     qs = eq / group_sum * jax.lax.rsqrt(d)
 
@@ -113,10 +119,12 @@ def _kernel_fulllane(q_ref, k_ref, v_ref, bd_ref, o_ref, *, dim_head: int):
     ks = ek / jnp.sum(ek, axis=0, keepdims=True)
 
     # --- ctx = k'^T v masked to per-head blocks; out = q' @ ctx
-    ctx = jax.lax.dot_general(ks, v, (((0,), (0,)), ((), ())),
+    ctx = jax.lax.dot_general(ks.astype(mxu), v_ref[0].astype(mxu),
+                              (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    ctx = ctx * bd
-    out = jax.lax.dot_general(qs, ctx, (((1,), (0,)), ((), ())),
+    ctx = (ctx * bd_ref[:].astype(jnp.float32)).astype(mxu)
+    out = jax.lax.dot_general(qs.astype(mxu), ctx,
+                              (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
 
@@ -150,47 +158,89 @@ def _forward_pallas_fulllane(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Ar
     return out.reshape(b, n, h, d)
 
 
-def _kernel_ctx_chunked(k_ref, v_ref, bd_ref, ctx_ref, m_scr, s_scr, a_scr):
-    """Chunked-N context accumulation with online max rescaling.
+def _kernel_ctx_twopass(k_ref, v_ref, m_ref, a_ref, s_ref):
+    """Context accumulation for the two-pass large-N path.
 
-    Grid (B, NC); the N-chunk axis is minor so the f32 scratch (running
-    colmax m [1,F], colsumexp s [1,F], accumulator A [F,F]) persists across
-    chunks of one batch cell. At the last chunk the normalized, block-diag-
-    masked context A/s is written out. This extends the full-lane fused
-    kernel to resolutions whose full [N,F] cell exceeds VMEM (128^2/192^2
-    top levels)."""
+    Grid (B, NC), chunk axis minor: the [F,F] accumulator A and [1,F]
+    colsumexp s are OUTPUT blocks whose index map ignores the chunk axis,
+    so they stay VMEM-resident across one batch row's chunks — accumulate
+    in place, no scratch, no rescaling. The column max m is precomputed by
+    XLA (one cheap fused reduction pass over k), which removes the serial
+    online-max dependency that sank the round-1 chunked kernel
+    (per-chunk A *= scale rescaling on the minor axis)."""
     import jax.experimental.pallas as pl
 
-    nc = pl.num_programs(1)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, -1e30)
-        s_scr[:] = jnp.zeros_like(s_scr)
-        a_scr[:] = jnp.zeros_like(a_scr)
+        a_ref[0] = jnp.zeros_like(a_ref[0])
+        s_ref[0] = jnp.zeros_like(s_ref[0])
 
-    k = k_ref[0].astype(jnp.float32)  # [CH, F]
-    v = v_ref[0].astype(jnp.float32)
-    chunk_max = jnp.max(k, axis=0, keepdims=True)  # [1, F]
-    new_m = jnp.maximum(m_scr[:], chunk_max)
-    scale = jnp.exp(m_scr[:] - new_m)  # [1, F]
-    e = jnp.exp(k - new_m)  # [CH, F]
-    s_scr[:] = s_scr[:] * scale + jnp.sum(e, axis=0, keepdims=True)
-    a_scr[:] = a_scr[:] * scale.T + jax.lax.dot_general(
-        e, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    m_scr[:] = new_m
+    # MXU operand dtype follows the input dtype (see _kernel_fulllane)
+    mxu = jnp.bfloat16 if v_ref.dtype == jnp.bfloat16 else jnp.float32
+    m = m_ref[0].astype(jnp.float32)  # [1, F]
+    # 4-way sub-chunk software pipeline: the partial (exp -> dot) chains are
+    # independent, so the VLIW scheduler overlaps part i's MXU dot with
+    # part i+1's VPU exp (a single chain serializes them and was the
+    # dominant per-chunk cost at large N)
+    ch = k_ref.shape[1]
+    parts = 4 if ch % 4 == 0 else 1
+    sub = ch // parts
+    s_parts, a_parts = [], []
+    for p in range(parts):
+        kp = k_ref[0, p * sub:(p + 1) * sub, :].astype(jnp.float32)
+        e = jnp.exp(kp - m)
+        s_parts.append(jnp.sum(e, axis=0, keepdims=True))
+        a_parts.append(jax.lax.dot_general(
+            e.astype(mxu), v_ref[0, p * sub:(p + 1) * sub, :].astype(mxu),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ))
+    s_ref[0] += sum(s_parts)
+    a_ref[0] += sum(a_parts)
 
-    @pl.when(j == nc - 1)
-    def _finalize():
-        bd = bd_ref[:].astype(jnp.float32)
-        ctx_ref[0] = (a_scr[:] / jnp.maximum(s_scr[:].T, 1e-30)) * bd
+
+def _kernel_out_twopass(q_ref, ctx_ref, bd_ref, o_ref, *, dim_head: int):
+    """Output pass: per-chunk q softmax times the finalized [F,F] context
+    (already normalized, block-diag masked, cast to the MXU dtype)."""
+    mxu = ctx_ref.dtype
+    bd = bd_ref[:].astype(mxu)
+    scale = jax.lax.rsqrt(jnp.float32(dim_head))
+    # 4-way sub-chunk pipeline (fully independent row blocks — see
+    # _kernel_ctx_twopass)
+    ch = q_ref.shape[1]
+    parts = 4 if ch % 4 == 0 else 1
+    sub = ch // parts
+    for p in range(parts):
+        q = q_ref[0, p * sub:(p + 1) * sub, :].astype(jnp.float32)
+        eq = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
+        group_sum = jax.lax.dot_general(eq.astype(mxu), bd,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        qs = eq / group_sum * scale
+        out = jax.lax.dot_general(
+            qs.astype(mxu), ctx_ref[0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[0, p * sub:(p + 1) * sub, :] = out.astype(o_ref.dtype)
 
 
-def _forward_pallas_chunked(q: jax.Array, k: jax.Array, v: jax.Array,
+def _forward_pallas_twopass(q: jax.Array, k: jax.Array, v: jax.Array,
                             chunk: int = 2048) -> jax.Array:
-    """Large-N path: Pallas chunked context + XLA q-softmax/out matmul."""
+    """Large-N path: each of q/k/v is read from HBM exactly once (plus one
+    XLA reduction pass over k for the column max), out written once.
+
+    Pass A (grid B x NC): accumulate unnormalized context A = exp(k-m)^T v
+    and colsumexp s into VMEM-resident output blocks.
+    Between passes (XLA, [B,F,F] — trivial): ctx = (A / s^T) * blockdiag.
+    Pass B (grid B x NC): out = softmax_group(q)/sqrt(d) @ ctx.
+
+    Replaces the round-1 chunked kernel that LOST to XLA at N=16384
+    (13.5 vs 7.7 ms/op): its per-chunk online-max rescaling serialized the
+    accumulator update, and its f32 q-softmax epilogue in XLA materialized
+    multiple [B,N,F] f32 temporaries."""
+    import functools
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -198,37 +248,52 @@ def _forward_pallas_chunked(q: jax.Array, k: jax.Array, v: jax.Array,
     f = h * d
     kc = k.reshape(b, n, f)
     vc = v.reshape(b, n, f)
-    bd = jnp.kron(jnp.eye(h, dtype=q.dtype), jnp.ones((d, d), q.dtype))
+    qc = q.reshape(b, n, f)
     nc = max(n // chunk, 1)
     chunk = n // nc
 
-    chunk_spec = pl.BlockSpec((1, chunk, f), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-    ctx = pl.pallas_call(
-        _kernel_ctx_chunked,
-        out_shape=jax.ShapeDtypeStruct((b, f, f), jnp.float32),
-        grid=(b, nc),
-        in_specs=[
-            chunk_spec,
-            chunk_spec,
-            pl.BlockSpec((f, f), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, f, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((1, f), jnp.float32),
-            pltpu.VMEM((1, f), jnp.float32),
-            pltpu.VMEM((f, f), jnp.float32),
-        ],
-    )(kc, vc, bd)
+    # one fused XLA reduction pass; shift-invariance of softmax makes any
+    # per-column constant valid, the true max is the numerically safest
+    m = jnp.max(kc, axis=1, keepdims=True).astype(jnp.float32)  # [B, 1, F]
 
-    # q softmax + output matmul: row-local, XLA fuses these cleanly
-    qf = q.reshape(b, n, f).astype(jnp.float32)
-    q_shift = qf - jnp.max(qf, axis=-1, keepdims=True)
-    eq = jnp.exp(q_shift)
-    group_sum = jnp.einsum("bnf,fg->bng", eq, jnp.kron(
-        jnp.eye(h, dtype=jnp.float32), jnp.ones((d, d), jnp.float32)))
-    qs = eq / group_sum * (d**-0.5)
-    out = jnp.einsum("bnf,bfg->bng", qs, ctx)
-    return out.reshape(b, n, h, d).astype(q.dtype)
+    chunk_spec = pl.BlockSpec((1, chunk, f), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((1, f, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    sum_spec = pl.BlockSpec((1, 1, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    a, s = pl.pallas_call(
+        _kernel_ctx_twopass,
+        out_shape=(jax.ShapeDtypeStruct((b, f, f), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, f), jnp.float32)),
+        grid=(b, nc),
+        in_specs=[chunk_spec, chunk_spec,
+                  pl.BlockSpec((1, 1, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=(acc_spec, sum_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * f * f,
+            bytes_accessed=2 * b * n * f * k.dtype.itemsize,
+            transcendentals=b * n * f,
+        ),
+    )(kc, vc, m)
+
+    bdf = jnp.kron(jnp.eye(h, dtype=jnp.float32), jnp.ones((d, d), jnp.float32))
+    mxu = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+    ctx = ((a / jnp.maximum(jnp.transpose(s, (0, 2, 1)), 1e-30)) * bdf[None]
+           ).astype(mxu)
+
+    ctx_spec = pl.BlockSpec((1, f, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    bd_spec = pl.BlockSpec((f, f), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel_out_twopass, dim_head=d),
+        out_shape=jax.ShapeDtypeStruct((b, n, f), q.dtype),
+        grid=(b, nc),
+        in_specs=[chunk_spec, ctx_spec, bd_spec],
+        out_specs=chunk_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * f * f,
+            bytes_accessed=2 * b * n * f * q.dtype.itemsize,
+            transcendentals=b * n * f,
+        ),
+    )(qc, ctx, bdf.astype(q.dtype))
+    return out.reshape(b, n, h, d)
 
 
 import os
@@ -237,11 +302,20 @@ import os
 #   33.4  f32 layers + unfused XLA attention      (round-1 start)
 #   24.2  bf16 layers + unfused XLA attention
 #   44.1  original [N, D=32]-cell kernel           (lane-starved; kept for study)
-#   22.1  full-lane kernel (heads packed in lanes) <- default on TPU
-# At N=16384 (128^2 L0) the chunked variant LOSES to XLA (13.5 vs 7.7 ms/op)
-# so large-N cells default to the XLA path.
-# CCDM_TPU_FUSED_ATTN=0 falls back to the XLA reference formulation.
+#   22.1  full-lane kernel (heads packed in lanes) <- default on TPU, small N
+# Large N (128^2/192^2 top levels): XLA stays the default. Round 1's
+# chunked kernel lost at N=16384 (13.5 vs 7.7 ms/op; serialized online-max
+# rescaling); the round-2 two-pass redesign (XLA colmax -> accumulate ctx in
+# VMEM-resident output blocks -> separate out pass, bf16 MXU operands,
+# 4-way sub-chunk pipelining) closed most of the gap but still measures
+# 5.5-8.1 ms vs XLA 4.3-5.9 at N>=8192 (interleaved min-of-rounds, v5e-1):
+# the F=128 head-packing pays 4x MXU MACs on cross-head blocks and the
+# exp->dot chains bound each chunk, while XLA's fused softmax+einsum is
+# already near its traffic roofline. Full table: PROFILE.md.
+# CCDM_TPU_TWOPASS_ATTN=1 opts the two-pass kernel in for large N;
+# CCDM_TPU_FUSED_ATTN=0 falls back to XLA everywhere.
 _USE_PALLAS = os.environ.get("CCDM_TPU_FUSED_ATTN", "1") == "1"
+_USE_TWOPASS = os.environ.get("CCDM_TPU_TWOPASS_ATTN", "0") == "1"
 
 # per-cell VMEM footprint ~ 6 f32 arrays of [N, H*D]; stay well under the
 # 16 MB budget (128^2+ top levels exceed it and take the XLA path)
@@ -259,12 +333,8 @@ def linear_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     if _USE_PALLAS and jax.default_backend() == "tpu" and (h * d) % 128 == 0:
         if n * h * d <= _MAX_CELL_ELEMS:
             return _forward_pallas_fulllane(q, k, v)
-        # chunked large-N variant: numerics validated (N up to 16384,
-        # rel err ~bf16 noise) but MEASURED SLOWER than XLA at N=16384
-        # (13.5 vs 7.7 ms/op, B=64) — the per-chunk scratch rescaling
-        # serializes; kept opt-in as a starting point for a revised design.
-        if n % 2048 == 0 and os.environ.get("CCDM_TPU_CHUNKED_ATTN") == "1":
-            return _forward_pallas_chunked(q, k, v)
+        if _USE_TWOPASS and n % 2048 == 0:
+            return _forward_pallas_twopass(q, k, v)
     return linear_attention_reference(q, k, v)
 
 

@@ -60,6 +60,44 @@ def test_fulllane_kernel_non32_head_dims(rng, monkeypatch, h, d):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("n,chunk", [(4096, 2048), (6144, 2048), (4096, 1024)])
+def test_twopass_kernel_interpret_matches_reference(rng, monkeypatch, n, chunk):
+    """Two-pass large-N kernel (interpret mode) vs the reference math,
+    incl. a non-power-of-two chunk count."""
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    q, k, v = (jnp.asarray(rng.normal(0, 2, (2, n, 4, 32)).astype(np.float32))
+               for _ in range(3))
+    want = np.asarray(la.linear_attention_reference(q, k, v))
+    got = np.asarray(la._forward_pallas_twopass(q, k, v, chunk=chunk))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
+
+
+def test_twopass_kernel_bf16(rng, monkeypatch):
+    """bf16 inputs (the sampler dtype): accumulation stays f32 inside."""
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    q, k, v = (jnp.asarray(rng.normal(0, 2, (1, 4096, 4, 32)).astype(np.float32))
+               .astype(jnp.bfloat16) for _ in range(3))
+    want = np.asarray(la.linear_attention_reference(q, k, v), np.float32)
+    got = np.asarray(la._forward_pallas_twopass(q, k, v), np.float32)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
 def test_guard_routes_large_n_to_reference(rng):
     """N*H*D beyond the VMEM guard must not attempt the kernel (CPU backend
     already falls back; this checks the guard logic is importable/sane)."""
