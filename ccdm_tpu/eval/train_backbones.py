@@ -180,7 +180,11 @@ def get_eval_models(bundle, eval_ckpt_path: str, num_classes: int,
     tag = f"evalnets_{bundle.name}_{bundle.image_size}_seed{seed}"
     if checkpoint_exists(eval_ckpt_path, tag):
         stored = load_checkpoint(eval_ckpt_path, tag)
+        print(f" eval backbones: LOADED pinned checkpoint '{tag}' from {eval_ckpt_path}")
     else:
+        print(f" eval backbones: no pinned checkpoint '{tag}' in {eval_ckpt_path} — "
+              "training now. SFID/LS/Diversity are only comparable across runs "
+              "that share this checkpoint (it is persisted after training).")
         ae_vars = train_autoencoder(img, epochs=epochs_ae, seed=seed)
         # class targets: bin raw labels into num_classes equal-frequency bins
         uniq = np.sort(np.unique(raw))
@@ -202,4 +206,17 @@ def get_eval_models(bundle, eval_ckpt_path: str, num_classes: int,
         "fid": (enc, stored["ae"]),
         "div": (cls, stored["cls"]),
         "ls": (reg, stored["reg"]),
+        # identity stamp: any metric number is only comparable to numbers
+        # produced under the same backbone fingerprint (VERDICT r1 weak-8)
+        "fingerprint": f"{tag}:{backbone_fingerprint(stored)}",
     }
+
+
+def backbone_fingerprint(stored: dict) -> str:
+    """Short content hash of the backbone parameters."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(stored):
+        h.update(np.ascontiguousarray(jax.device_get(leaf)).tobytes())
+    return h.hexdigest()[:12]

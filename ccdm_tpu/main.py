@@ -366,6 +366,7 @@ def main(argv=None):
         eval_path = os.path.join(setting_folder, f"eval_results_niters{args.niters}.txt")
         with open(eval_path, "a") as f:
             f.write("\n" + "=" * 99)
+            f.write(f"\n Eval backbones: {nets['fingerprint']}.")
             f.write(f"\n Radius: {args.FID_radius}.  \n")
             print(args, file=f)
             f.write(f"\n Sampling Steps: {args.sample_timesteps}.")
