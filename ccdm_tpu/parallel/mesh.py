@@ -27,6 +27,36 @@ def create_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> 
     return Mesh(np.array(devices), (axis_name,))
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host (DCN) bootstrap: `jax.distributed.initialize` from args or
+    environment. Replaces the reference's MPI bootstrap (ADM-G
+    `dist_util.py:20-63`) and StudioGAN's `mp.spawn` + NCCL init
+    (`StudioGAN/main.py:198-201`) — after this, `create_mesh()` spans every
+    chip of every host and the SAME jitted step runs unchanged; XLA routes
+    intra-slice collectives over ICI and cross-slice over DCN.
+
+    Environment fallbacks: CCDM_COORD_ADDR, CCDM_NUM_PROCS, CCDM_PROC_ID
+    (explicit), else JAX's own cluster auto-detection (TPU pods, GKE).
+    Returns True if a multi-process runtime was initialized, False when
+    single-process (the common case; everything still works on one host).
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get("CCDM_COORD_ADDR")
+    if num_processes is None and os.environ.get("CCDM_NUM_PROCS"):
+        num_processes = int(os.environ["CCDM_NUM_PROCS"])
+    if process_id is None and os.environ.get("CCDM_PROC_ID"):
+        process_id = int(os.environ["CCDM_PROC_ID"])
+    if coordinator_address is None and num_processes is None:
+        return False  # single-process; nothing to do
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
