@@ -166,6 +166,20 @@ def train_noisy_classifier(
     return {"params": state[0], "batch_stats": state[1]}
 
 
+def bin_labels_to_classes(raw: np.ndarray, num_classes: int,
+                          ref: np.ndarray = None) -> np.ndarray:
+    """Bin raw continuous labels into num_classes equal-frequency classes
+    (the CCGM analog of StudioGAN's discrete class ids).
+
+    Boundaries come from `ref` (default: raw itself) so real and fake
+    labels can share one binning — pass the real labels as ref when
+    classifying fakes."""
+    uniq = np.sort(np.unique(raw if ref is None else ref))
+    chunks = np.array_split(uniq, num_classes)
+    uppers = np.array([c[-1] for c in chunks[:-1] if len(c)])  # incl. upper edges
+    return np.searchsorted(uppers, np.asarray(raw), side="left").astype(np.int64)
+
+
 def get_eval_models(bundle, eval_ckpt_path: str, num_classes: int,
                     epochs_ae: int = 10, epochs_cnn: int = 20, seed: int = 0):
     """Train-or-load the three eval backbones for a dataset bundle.
@@ -186,11 +200,7 @@ def get_eval_models(bundle, eval_ckpt_path: str, num_classes: int,
               "training now. SFID/LS/Diversity are only comparable across runs "
               "that share this checkpoint (it is persisted after training).")
         ae_vars = train_autoencoder(img, epochs=epochs_ae, seed=seed)
-        # class targets: bin raw labels into num_classes equal-frequency bins
-        uniq = np.sort(np.unique(raw))
-        bins = np.array_split(uniq, num_classes)
-        lab2class = {l: i for i, chunk in enumerate(bins) for l in chunk}
-        cls_targets = np.array([lab2class[l] for l in raw])
+        cls_targets = bin_labels_to_classes(raw, num_classes)
         cls_vars = train_eval_resnet(img, cls_targets, "class", num_classes,
                                      epochs=epochs_cnn, seed=seed + 1)
         reg_vars = train_eval_resnet(img, norm, "regre", 1,

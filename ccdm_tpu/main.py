@@ -88,6 +88,14 @@ def main(argv=None):
     from ccdm_tpu.utils.compilation_cache import enable as enable_cache
 
     enable_cache()
+    # multi-host (DCN) bootstrap BEFORE any device query; no-op unless the
+    # CCDM_COORD_ADDR/CCDM_NUM_PROCS/CCDM_PROC_ID env triplet is set
+    from ccdm_tpu.parallel.mesh import init_distributed
+
+    if init_distributed():
+        print(f" jax.distributed: process {jax.process_index()}"
+              f"/{jax.process_count()}, {jax.local_device_count()} local"
+              f" / {jax.device_count()} global devices")
     args = parse_opts(argv)
     np.random.seed(args.seed)
 
@@ -308,6 +316,58 @@ def main(argv=None):
                                num_classes, epochs_ae=args.epochs_eval_ae,
                                epochs_cnn=args.epochs_eval_cnn, seed=args.seed)
         (fid_net, fid_v), (ls_net, ls_v), (div_net, div_v) = nets["fid"], nets["ls"], nets["div"]
+
+        if args.knn_analysis or args.frequency_analysis or args.tsne_analysis:
+            # qualitative analysis passes (StudioGAN -knn/-fa/-tsne parity;
+            # worker.py:1068-1392) over the pinned eval-net feature space
+            from ccdm_tpu.eval import analysis
+            from ccdm_tpu.utils.viz import save_image_grid
+
+            fig_dir = os.path.join(setting_folder, "analysis")
+            os.makedirs(fig_dir, exist_ok=True)
+            embed = lambda x: extract_features(fid_net.apply, fid_v, x)
+            if args.knn_analysis:
+                grid = analysis.k_nearest_neighbors(
+                    fakes, real_images, k=7, embed_fn=embed, anchors=8)
+                a, kp1 = grid.shape[:2]
+                save_image_grid(grid.reshape(a * kp1, *grid.shape[2:]) / 255.0,
+                                os.path.join(fig_dir, "knn_grid.png"), nrow=kp1)
+                print(f" kNN analysis -> {fig_dir}/knn_grid.png")
+            if args.frequency_analysis:
+                rs, fs = analysis.frequency_spectrum(real_images[:256], fakes[:256])
+                np.savez(os.path.join(fig_dir, "frequency_spectrum.npz"),
+                         real_spectrum=rs, fake_spectrum=fs)
+                lo, hi = min(rs.min(), fs.min()), max(rs.max(), fs.max())
+                pair = (np.stack([rs, fs])[..., None] - lo) / max(hi - lo, 1e-9)
+                save_image_grid(pair, os.path.join(fig_dir, "frequency_spectrum.png"),
+                                nrow=2)
+                print(f" frequency analysis -> {fig_dir}/frequency_spectrum.*")
+            if args.tsne_analysis:
+                nsub = min(len(real_images), len(fakes), 1000)
+                r2, f2 = analysis.tsne_embeds(embed(real_images[:nsub]),
+                                              embed(fakes[:nsub]))
+                np.savez(os.path.join(fig_dir, "tsne.npz"), real_2d=r2, fake_2d=f2)
+                print(f" t-SNE analysis -> {fig_dir}/tsne.npz")
+
+        if args.GAN_train or args.GAN_test:
+            # Classification Accuracy Score (StudioGAN worker.py:1529-1641):
+            # GAN_train = fit on fake / test on real (recall proxy),
+            # GAN_test = fit on real / test on fake (precision proxy)
+            from ccdm_tpu.eval import analysis
+            from ccdm_tpu.eval.train_backbones import bin_labels_to_classes
+
+            rc = bin_labels_to_classes(real_labels, num_classes)
+            fc = bin_labels_to_classes(flabels, num_classes, ref=real_labels)
+            if args.GAN_train:
+                cas_r = analysis.gan_train_test_accuracy(
+                    fakes, fc, real_images, rc, num_classes,
+                    epochs=args.epochs_eval_cnn, seed=args.seed)
+                print(f" CAS GAN_train (fit fake, test real): {cas_r:.4f}")
+            if args.GAN_test:
+                cas_p = analysis.gan_train_test_accuracy(
+                    real_images, rc, fakes, fc, num_classes,
+                    epochs=args.epochs_eval_cnn, seed=args.seed)
+                print(f" CAS GAN_test (fit real, test fake): {cas_p:.4f}")
 
         if args.comp_IS_and_FID_only:
             # vanilla main.py:548-560: overall FID + IS on all fakes, skip

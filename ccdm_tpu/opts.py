@@ -131,6 +131,21 @@ def parse_opts(argv=None):
     parser.add_argument("--prdc_nearest_k", type=int, default=5)
     parser.add_argument("--comp_intra_fid", action="store_true", default=False,
                         help="per-label-value FID (StudioGAN worker.py iFID parity)")
+    parser.add_argument("--knn_analysis", action="store_true", default=False,
+                        help="k-nearest-real grids for fake anchors "
+                             "(StudioGAN main.py -knn / worker.py:1068)")
+    parser.add_argument("--frequency_analysis", action="store_true", default=False,
+                        help="mean FFT log-spectrum, real vs fake "
+                             "(StudioGAN main.py -fa / worker.py:1219)")
+    parser.add_argument("--tsne_analysis", action="store_true", default=False,
+                        help="2-D t-SNE of eval-net embeddings, real vs fake "
+                             "(StudioGAN main.py -tsne / worker.py:1297)")
+    parser.add_argument("--GAN_train", action="store_true", default=False,
+                        help="CAS recall leg: train classifier on FAKE, test on "
+                             "REAL (StudioGAN worker.py:1529)")
+    parser.add_argument("--GAN_test", action="store_true", default=False,
+                        help="CAS precision leg: train classifier on REAL, test "
+                             "on FAKE (StudioGAN worker.py:1529)")
     parser.add_argument("--epochs_eval_ae", type=int, default=10,
                         help="epochs for training the SFID autoencoder backbone")
     parser.add_argument("--epochs_eval_cnn", type=int, default=20,
