@@ -129,6 +129,42 @@ class LinearAttention(nn.Module):
         return RMSNorm(self.dim, name="out_norm")(out)
 
 
+class FusedLinearAttentionBlock(nn.Module):
+    """x + out_norm(W_out · linattn(W_qkv · pre_norm(x))) as ONE fused op.
+
+    Semantically identical to PreNormResidual(LinearAttention(...)) — same
+    parameter count and initializers (1x1 convs = dense kernels) — but the
+    whole chain runs per batch cell in VMEM (`ops/attn_block.py`), reading
+    x from HBM once and writing the residual output once, instead of
+    bouncing [N,3F]/[N,F] intermediates through HBM. The reference
+    composition is Residual(PreNorm(LinearAttention)) at torch
+    unet.py:66-99,189-216.
+    """
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ccdm_tpu.ops.attn_block import fused_attn_block
+
+        b, hh, ww, c = x.shape
+        hidden = self.heads * self.dim_head
+        init = nn.initializers.lecun_normal()
+        g_pre = self.param("norm_g", nn.initializers.ones, (c,))
+        wqkv = self.param("qkv_kernel", init, (c, 3 * hidden))
+        wout = self.param("out_kernel", init, (hidden, self.dim))
+        bout = self.param("out_bias", nn.initializers.zeros, (self.dim,))
+        g_out = self.param("out_norm_g", nn.initializers.ones, (self.dim,))
+
+        y = fused_attn_block(x.astype(self.dtype).reshape(b, hh * ww, c),
+                             g_pre, wqkv, wout, bout, g_out,
+                             self.heads, self.dim_head)
+        return y.reshape(b, hh, ww, c)
+
+
 class Attention(nn.Module):
     """Full softmax attention over the spatial map (mid-block).
 

@@ -33,7 +33,7 @@ from flax import linen as nn
 from ccdm_tpu.models.layers import (
     Attention,
     Downsample,
-    LinearAttention,
+    FusedLinearAttentionBlock,
     PreNormResidual,
     ResnetBlock,
     SinusoidalPosEmb,
@@ -109,9 +109,8 @@ class Unet(nn.Module):
             x = ResnetBlock(dim_in, dtype=self.dtype, name=f"down_{ind}_block1")(x, t_emb, c_emb)
             skips.append(x)
             x = ResnetBlock(dim_in, dtype=self.dtype, name=f"down_{ind}_block2")(x, t_emb, c_emb)
-            x = PreNormResidual(
-                dim_in,
-                LinearAttention(dim_in, self.attn_heads, self.attn_dim_head, dtype=self.dtype, name=f"down_{ind}_attn_inner"),
+            x = FusedLinearAttentionBlock(
+                dim_in, self.attn_heads, self.attn_dim_head, dtype=self.dtype,
                 name=f"down_{ind}_attn",
             )(x)
             skips.append(x)
@@ -137,9 +136,8 @@ class Unet(nn.Module):
             x = ResnetBlock(dim_out, dtype=self.dtype, name=f"up_{ind}_block1")(x, t_emb, c_emb)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = ResnetBlock(dim_out, dtype=self.dtype, name=f"up_{ind}_block2")(x, t_emb, c_emb)
-            x = PreNormResidual(
-                dim_out,
-                LinearAttention(dim_out, self.attn_heads, self.attn_dim_head, dtype=self.dtype, name=f"up_{ind}_attn_inner"),
+            x = FusedLinearAttentionBlock(
+                dim_out, self.attn_heads, self.attn_dim_head, dtype=self.dtype,
                 name=f"up_{ind}_attn",
             )(x)
             if not is_last:
