@@ -96,6 +96,51 @@ class ResnetBlock(nn.Module):
         return h + x
 
 
+class FusedResnetBlock(nn.Module):
+    """ResnetBlock computed as ONE fused kernel per batch cell.
+
+    Semantically identical to ResnetBlock above (same parameter count and
+    initializers; tc_mlp stays an XLA Dense — it is [B, dim]-sized), but
+    the conv3x3→norm→FiLM→SiLU→conv3x3→norm→SiLU→+residual chain runs
+    VMEM-resident (`ops/resnet_block.py`): x read from HBM once, y written
+    once, instead of bouncing h1/h2 and the residual read through HBM.
+    Reference: torch `models/unet.py:136-187`.
+    """
+
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, t_emb: jax.Array, c_emb: Optional[jax.Array] = None) -> jax.Array:
+        from ccdm_tpu.ops.resnet_block import fused_resnet_block
+
+        b, hh, ww, cin = x.shape
+        cout = self.dim_out
+        tc = t_emb if c_emb is None else jnp.concatenate([t_emb, c_emb], axis=-1)
+        tc = nn.Dense(cout * 2, name="tc_mlp", dtype=self.dtype)(nn.silu(tc))
+        scale, shift = jnp.split(tc, 2, axis=-1)  # [B, Cout] each
+
+        init = nn.initializers.lecun_normal()
+        w1 = self.param("conv1_kernel", init, (3, 3, cin, cout))
+        b1 = self.param("conv1_bias", nn.initializers.zeros, (cout,))
+        g1 = self.param("norm1_g", nn.initializers.ones, (cout,))
+        w2 = self.param("conv2_kernel", init, (3, 3, cout, cout))
+        b2 = self.param("conv2_bias", nn.initializers.zeros, (cout,))
+        g2 = self.param("norm2_g", nn.initializers.ones, (cout,))
+        has_res = cin != cout
+        if has_res:
+            wres = self.param("res_kernel", init, (cin, cout))
+            bres = self.param("res_bias", nn.initializers.zeros, (cout,))
+        else:  # fixed custom_vjp arity; ignored, zero-grad
+            wres = jnp.zeros((cin, cout), jnp.float32)
+            bres = jnp.zeros((cout,), jnp.float32)
+
+        y = fused_resnet_block(x.astype(self.dtype).reshape(b, hh * ww, cin),
+                               scale, shift, w1, b1, g1, w2, b2, g2,
+                               wres, bres, hh, ww, has_res)
+        return y.reshape(b, hh, ww, cout)
+
+
 class LinearAttention(nn.Module):
     """Linear (efficiency) attention over the spatial map.
 

@@ -34,8 +34,8 @@ from ccdm_tpu.models.layers import (
     Attention,
     Downsample,
     FusedLinearAttentionBlock,
+    FusedResnetBlock,
     PreNormResidual,
-    ResnetBlock,
     SinusoidalPosEmb,
     Upsample,
     null_cond_init,
@@ -106,9 +106,9 @@ class Unet(nn.Module):
         skips = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= num_res - 1
-            x = ResnetBlock(dim_in, dtype=self.dtype, name=f"down_{ind}_block1")(x, t_emb, c_emb)
+            x = FusedResnetBlock(dim_in, dtype=self.dtype, name=f"down_{ind}_block1")(x, t_emb, c_emb)
             skips.append(x)
-            x = ResnetBlock(dim_in, dtype=self.dtype, name=f"down_{ind}_block2")(x, t_emb, c_emb)
+            x = FusedResnetBlock(dim_in, dtype=self.dtype, name=f"down_{ind}_block2")(x, t_emb, c_emb)
             x = FusedLinearAttentionBlock(
                 dim_in, self.attn_heads, self.attn_dim_head, dtype=self.dtype,
                 name=f"down_{ind}_attn",
@@ -120,7 +120,7 @@ class Unet(nn.Module):
                 x = nn.Conv(dim_out, (3, 3), padding=1, name=f"down_{ind}_conv", dtype=self.dtype)(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, dtype=self.dtype, name="mid_block1")(x, t_emb, c_emb)
+        x = FusedResnetBlock(mid_dim, dtype=self.dtype, name="mid_block1")(x, t_emb, c_emb)
         if return_bottleneck:
             return x
         x = PreNormResidual(
@@ -128,14 +128,14 @@ class Unet(nn.Module):
             Attention(mid_dim, self.attn_heads, self.attn_dim_head, dtype=self.dtype, name="mid_attn_inner"),
             name="mid_attn",
         )(x)
-        x = ResnetBlock(mid_dim, dtype=self.dtype, name="mid_block2")(x, t_emb, c_emb)
+        x = FusedResnetBlock(mid_dim, dtype=self.dtype, name="mid_block2")(x, t_emb, c_emb)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == num_res - 1
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out, dtype=self.dtype, name=f"up_{ind}_block1")(x, t_emb, c_emb)
+            x = FusedResnetBlock(dim_out, dtype=self.dtype, name=f"up_{ind}_block1")(x, t_emb, c_emb)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out, dtype=self.dtype, name=f"up_{ind}_block2")(x, t_emb, c_emb)
+            x = FusedResnetBlock(dim_out, dtype=self.dtype, name=f"up_{ind}_block2")(x, t_emb, c_emb)
             x = FusedLinearAttentionBlock(
                 dim_out, self.attn_heads, self.attn_dim_head, dtype=self.dtype,
                 name=f"up_{ind}_attn",
@@ -146,6 +146,6 @@ class Unet(nn.Module):
                 x = nn.Conv(dim_in, (3, 3), padding=1, name=f"up_{ind}_conv", dtype=self.dtype)(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(dim, dtype=self.dtype, name="final_res_block")(x, t_emb, c_emb)
+        x = FusedResnetBlock(dim, dtype=self.dtype, name="final_res_block")(x, t_emb, c_emb)
         out = nn.Conv(self.output_channels, (1, 1), name="final_conv", dtype=jnp.float32)(x)
         return out.astype(jnp.float32)
