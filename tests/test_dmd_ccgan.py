@@ -22,6 +22,7 @@ def tiny_data(n=64, img=IMG, nc=NC):
     return images, labels
 
 
+@pytest.mark.slow  # compile-heavy (~43s); ADM params pinned by torch-parity suite
 def test_adm_unet_shapes_and_cfg():
     m = ADMUnet(model_channels=16, channel_mult=(1, 2), num_groups=8,
                 attention_resolutions=(2,), num_heads=2)
@@ -42,6 +43,7 @@ def test_adm_unet_shapes_and_cfg():
     np.testing.assert_allclose(np.asarray(g["null_classes_emb"]), 0.0)
 
 
+@pytest.mark.slow  # compile-heavy (~19s)
 def test_aux_nets():
     k = jax.random.PRNGKey(0)
     x = jnp.zeros((2, 32, 32, 3))

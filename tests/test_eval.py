@@ -36,6 +36,7 @@ def test_entropy():
     assert compute_entropy(np.array([0, 1, 2, 3])) == pytest.approx(np.log(4))
 
 
+@pytest.mark.slow  # compile-heavy (~50s); encoder exercised by test_cal_fid
 def test_ae_encoder_decoder_shapes():
     enc = AEEncoder(dim_bottleneck=64, ch=8)
     dec = AEDecoder(ch=8, nc=3)

@@ -16,7 +16,7 @@ from ccdm_tpu.training.diffaugment import (
 
 @pytest.mark.parametrize("G_cls,D_cls", [
     pytest.param(SNGANGenerator, SNGANDiscriminator, marks=pytest.mark.slow),
-    (SAGANGenerator, SAGANDiscriminator),
+    pytest.param(SAGANGenerator, SAGANDiscriminator, marks=pytest.mark.slow),
 ])
 def test_gan_shapes_64(G_cls, D_cls):
     G = G_cls(dim_z=16, dim_embed=16, nc=3, img_size=64, gene_ch=4)

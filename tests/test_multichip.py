@@ -45,6 +45,7 @@ def test_jit_allreduce_over_mesh(devices8):
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_local), rtol=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy (~60s); the driver dryrun covers this gate too
 def test_trainer_step_on_mesh(tmp_path, devices8):
     """Full train step jitted over an 8-device mesh."""
     from tests.test_trainer import build_trainer

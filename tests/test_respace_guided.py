@@ -73,6 +73,7 @@ def test_update_with_losses_handles_duplicates():
     assert int(st.counts[1]) == 3
 
 
+@pytest.mark.slow  # compile-heavy e2e (~50s); guidance math covered by unit tests
 def test_classifier_guided_sample():
     from ccdm_tpu.diffusion import DiffusionConfig, GaussianDiffusion
     from ccdm_tpu.diffusion.guided import (

@@ -139,6 +139,7 @@ def test_train_loop_runs(tmp_path, vicinity_type):
     assert os.path.exists(os.path.join(trainer.config.results_folder, "train_log.jsonl"))
 
 
+@pytest.mark.slow  # convergence check is nightly material (~34s compile-heavy)
 def test_train_loss_decreases(tmp_path):
     trainer, _ = build_trainer(tmp_path, "hv", steps=30)
     fn_y2h = make_fn_y2h(128)
@@ -151,6 +152,7 @@ def test_train_loss_decreases(tmp_path):
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), f"loss did not decrease: {losses}"
 
 
+@pytest.mark.slow  # vanilla-mode semantics also pinned by unit vicinal tests
 def test_vanilla_target_mode(tmp_path):
     trainer, _ = build_trainer(
         tmp_path, "sv", steps=3, condition_on_target=True, vicinal_mode="target",
