@@ -140,12 +140,141 @@ _MAX_CELL_ELEMS = int(os.environ.get("CCDM_TPU_ATTN_BLOCK_MAX_CELL", 4096 * 128)
 _USE_FUSED = os.environ.get("CCDM_TPU_FUSED_ATTN", "1") == "1"
 
 
+def _kernel_ctx_large(x_ref, gp_ref, wkv_ref, a_ref, s_ref, *, f: int):
+    """Large-N pass A: per x-chunk, prenorm -> kv projection -> UNSHIFTED
+    exp(k) -> accumulate context A += e^T v and colsum s (VMEM-resident
+    output blocks across the minor chunk axis, as in the two-pass
+    linear-attention kernel).
+
+    The softmax shift is omitted: k is the projection of an RMS-normalized
+    activation (|k| is O(||g_pre|| · ||W_k||), in practice < 30), and both
+    the exp and the f32 accumulators carry an 8-bit exponent — overflow
+    needs |k| > 88. A shifted variant would need the global column max of
+    k BEFORE k exists (chicken-and-egg with the fused projection), i.e. a
+    third full pass over x. Validated against the shifted reference in
+    tests incl. a 10x-scaled-input case."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        a_ref[0] = jnp.zeros_like(a_ref[0])
+        s_ref[0] = jnp.zeros_like(s_ref[0])
+
+    x = x_ref[0]
+    mxu = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + 1e-12)
+    xn = xf * inv * gp_ref[:].astype(jnp.float32)
+    kv = jax.lax.dot_general(
+        xn.astype(mxu), wkv_ref[:].astype(mxu), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [CH, 2F]
+    e = jnp.exp(kv[:, :f])
+    s_ref[0] += jnp.sum(e, axis=0, keepdims=True)
+    a_ref[0] += jax.lax.dot_general(
+        e.astype(mxu), kv[:, f:].astype(mxu), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _kernel_out_large(x_ref, gp_ref, wq_ref, ctx_ref, bd_ref, wout_ref,
+                      bout_ref, go_ref, y_ref, *, dim_head: int):
+    """Large-N pass B: per x-chunk, prenorm -> q projection -> per-head
+    softmax -> @ctx -> out projection -> out norm -> + residual."""
+    x = x_ref[0]
+    mxu = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + 1e-12)
+    xn = xf * inv * gp_ref[:].astype(jnp.float32)
+    q = jax.lax.dot_general(
+        xn.astype(mxu), wq_ref[:].astype(mxu), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [CH, F]
+    bd = bd_ref[:].astype(mxu)
+    eq = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
+    gsum = jax.lax.dot_general(eq.astype(mxu), bd, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    qs = eq / gsum * jax.lax.rsqrt(jnp.float32(dim_head))
+    out = jax.lax.dot_general(qs.astype(mxu), ctx_ref[0],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o = jax.lax.dot_general(out.astype(mxu), wout_ref[:].astype(mxu),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o = o + bout_ref[:].astype(jnp.float32)
+    inv2 = jax.lax.rsqrt(jnp.mean(o * o, axis=-1, keepdims=True) + 1e-12)
+    y_ref[0] = (xf + o * inv2 * go_ref[:].astype(jnp.float32)).astype(y_ref.dtype)
+
+
+def _forward_pallas_large(x2d, g_pre, wqkv, wout, bout, g_out, heads,
+                          dim_head, chunk: int = 2048):
+    """Large-N fused block: x is read TWICE (once per pass) and y written
+    once — versus the unfused XLA chain's ~8 [N,F]-sized HBM round trips.
+    The projection weights are split so pass A computes only k,v and pass
+    B only q (no wasted thirds)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = x2d.shape
+    f = heads * dim_head
+    dt = x2d.dtype
+    nc = max(n // chunk, 1)
+    chunk = n // nc
+
+    row = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, chunk, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((1, f, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, 1, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    wkv = wqkv[:, f:].astype(dt)   # [C, 2F]
+    a, s = pl.pallas_call(
+        functools.partial(_kernel_ctx_large, f=f),
+        out_shape=(jax.ShapeDtypeStruct((b, f, f), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, f), jnp.float32)),
+        grid=(b, nc),
+        in_specs=[xspec, row((c,)), row((c, 2 * f))],
+        out_specs=(a_spec, s_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (c * 2 * f + f * f),
+            bytes_accessed=b * n * c * dt.itemsize,
+            transcendentals=b * n * f,
+        ),
+    )(x2d, g_pre, wkv)
+
+    bd = jnp.kron(jnp.eye(heads, dtype=jnp.float32),
+                  jnp.ones((dim_head, dim_head), jnp.float32))
+    mxu = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+    ctx = ((a / jnp.maximum(jnp.transpose(s, (0, 2, 1)), 1e-30)) * bd[None]
+           ).astype(mxu)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_out_large, dim_head=dim_head),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), dt),
+        grid=(b, nc),
+        in_specs=[xspec, row((c,)), row((c, f)), a_spec, row((f, f)),
+                  row((f, c)), row((c,)), row((c,))],
+        out_specs=xspec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (c * f + 2 * f * f + f * c),
+            bytes_accessed=2 * b * n * c * dt.itemsize,
+            transcendentals=b * n * f,
+        ),
+    )(x2d, g_pre, wqkv[:, :f].astype(dt), ctx, bd.astype(dt),
+      wout.astype(dt), bout, g_out)
+
+
+_USE_LARGE_N = os.environ.get("CCDM_TPU_FUSED_ATTN_LARGE_N", "1") == "1"
+
+
 def _dispatch(x2d, g_pre, wqkv, wout, bout, g_out, heads, dim_head):
     f = heads * dim_head
     n = x2d.shape[1]
-    if (_USE_FUSED and jax.default_backend() == "tpu" and f % 128 == 0
-            and n * f <= _MAX_CELL_ELEMS):
-        return _forward_pallas(x2d, g_pre, wqkv, wout, bout, g_out, heads, dim_head)
+    if (_USE_FUSED and jax.default_backend() == "tpu" and f % 128 == 0):
+        if n * f <= _MAX_CELL_ELEMS:
+            return _forward_pallas(x2d, g_pre, wqkv, wout, bout, g_out, heads, dim_head)
+        if _USE_LARGE_N and n % 2048 == 0:
+            return _forward_pallas_large(x2d, g_pre, wqkv, wout, bout, g_out,
+                                         heads, dim_head)
     return attn_block_reference(x2d, g_pre, wqkv, wout, bout, g_out,
                                 heads=heads, dim_head=dim_head)
 

@@ -101,6 +101,77 @@ def test_kernel_interpret_bf16(rng, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("n,chunk", [(4096, 2048), (6144, 2048)])
+def test_large_n_kernel_interpret_matches_reference(rng, monkeypatch, n, chunk):
+    """Two-pass large-N fused block (interpret) vs the composition,
+    incl. a non-power-of-two chunk count."""
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    heads, dim_head, c = 4, 32, 64
+    f = heads * dim_head
+    g_pre, wqkv, wout, bout, g_out = _params(rng, c, f)
+    x = jnp.asarray(rng.normal(0, 2, (2, n, c)).astype(np.float32))
+    want = ab.attn_block_reference(x, g_pre, wqkv, wout, bout, g_out,
+                                   heads, dim_head)
+    got = ab._forward_pallas_large(x, g_pre, wqkv, wout, bout, g_out,
+                                   heads, dim_head, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_large_n_kernel_unshifted_exp_safe_at_10x_scale(rng, monkeypatch):
+    """The large-N path omits the softmax shift (see kernel docstring);
+    verify it stays finite and accurate with inputs 10x the normal
+    activation scale (k values ~30+)."""
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    heads, dim_head, c, n = 4, 32, 64, 4096
+    f = heads * dim_head
+    g_pre, wqkv, wout, bout, g_out = _params(rng, c, f)
+    x = jnp.asarray(rng.normal(0, 20, (1, n, c)).astype(np.float32))
+    want = np.asarray(ab.attn_block_reference(x, g_pre, wqkv * 3, wout, bout,
+                                              g_out, heads, dim_head))
+    got = np.asarray(ab._forward_pallas_large(x, g_pre, wqkv * 3, wout, bout,
+                                              g_out, heads, dim_head))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
+
+
+def test_large_n_kernel_bf16(rng, monkeypatch):
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    heads, dim_head, c, n = 4, 32, 64, 4096
+    f = heads * dim_head
+    g_pre, wqkv, wout, bout, g_out = _params(rng, c, f)
+    x = jnp.asarray(rng.normal(0, 1, (1, n, c)).astype(np.float32)).astype(jnp.bfloat16)
+    want = np.asarray(ab.attn_block_reference(x, g_pre, wqkv, wout, bout,
+                                              g_out, heads, dim_head), np.float32)
+    got = np.asarray(ab._forward_pallas_large(x, g_pre, wqkv, wout, bout,
+                                              g_out, heads, dim_head), np.float32)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
 def test_gradients_flow_through_custom_vjp(rng):
     """Backward runs the reference composition: grads finite and match an
     undecorated composition exactly (same function)."""
