@@ -41,17 +41,20 @@ def _as_features(images: np.ndarray, embed_fn: Optional[Callable]) -> np.ndarray
 
 def k_nearest_neighbors(fake_images: np.ndarray, real_images: np.ndarray,
                         k: int = 7, embed_fn: Optional[Callable] = None,
-                        anchors: int = 8) -> np.ndarray:
+                        anchors: int = 8,
+                        real_features: Optional[np.ndarray] = None) -> np.ndarray:
     """For each of the first `anchors` fakes, find its k nearest reals.
 
     Returns a uint8 grid [anchors, k+1, H, W, C]: column 0 is the fake
     anchor, columns 1..k its nearest reals by feature L2 (ref
     worker.py:1068-1163 builds the same rows with ResNet50 embeddings and
     a per-class sampler; class restriction is the caller's slicing here).
+    Pass real_features to reuse embeddings the caller already extracted.
     """
     fa = np.asarray(fake_images[:anchors])
     ff = _as_features(fa, embed_fn)
-    rf = _as_features(real_images, embed_fn)
+    rf = (np.asarray(real_features, np.float32) if real_features is not None
+          else _as_features(real_images, embed_fn))
     # [A, N] squared distances on device, one fused matmul + broadcasts
     d = (jnp.sum(jnp.asarray(ff) ** 2, 1)[:, None]
          - 2.0 * jnp.asarray(ff) @ jnp.asarray(rf).T
@@ -128,10 +131,14 @@ def tsne_embeds(real_feats: np.ndarray, fake_feats: np.ndarray,
     both = np.concatenate([real_feats, fake_feats], 0).astype(np.float32)
     try:
         from sklearn.manifold import TSNE
-        pts = TSNE(n_components=2, perplexity=min(perplexity, max(both.shape[0] // 4, 2)),
-                   max_iter=max(n_iter, 250), random_state=seed,
-                   init="pca").fit_transform(both)
-    except ImportError:
+        kw = dict(n_components=2, random_state=seed, init="pca",
+                  perplexity=min(perplexity, max(both.shape[0] // 4, 2)))
+        try:
+            tsne = TSNE(max_iter=max(n_iter, 250), **kw)
+        except TypeError:  # sklearn < 1.5 spells it n_iter
+            tsne = TSNE(n_iter=max(n_iter, 250), **kw)
+        pts = tsne.fit_transform(both)
+    except ImportError:  # PCA fallback
         both = both - both.mean(0)
         _, _, vt = np.linalg.svd(both, full_matrices=False)
         pts = both @ vt[:2].T

@@ -164,13 +164,23 @@ def intra_class_fid(apply_fn: Callable, variables: dict,
                     images_real: np.ndarray, classes_real: np.ndarray,
                     images_fake: np.ndarray, classes_fake: np.ndarray,
                     batch_size: int = 200, norm_img: bool = True,
-                    min_per_class: int = 2):
+                    min_per_class: int = 2,
+                    feats_real: Optional[np.ndarray] = None,
+                    feats_fake: Optional[np.ndarray] = None):
     """Per-class FID (StudioGAN worker.py:1392-1466 'iFID'): features are
     extracted once, then Frechet distance per shared class. Returns
     (mean, std, {class: fid}). Classes with fewer than min_per_class samples
-    on either side are skipped (covariance needs >=2)."""
-    Xr = extract_features(apply_fn, variables, images_real, batch_size, norm_img)
-    Xg = extract_features(apply_fn, variables, images_fake, batch_size, norm_img)
+    on either side are skipped (covariance needs >=2).
+
+    classes_* must be DISCRETE class ids sharing one binning (for raw
+    continuous labels use train_backbones.bin_labels_to_classes with the
+    real labels as ref — exact float equality between real and generated
+    label values almost never holds). Pass feats_* to reuse features
+    already extracted by the caller."""
+    Xr = (feats_real if feats_real is not None
+          else extract_features(apply_fn, variables, images_real, batch_size, norm_img))
+    Xg = (feats_fake if feats_fake is not None
+          else extract_features(apply_fn, variables, images_fake, batch_size, norm_img))
     cr = np.asarray(classes_real).reshape(-1)
     cg = np.asarray(classes_fake).reshape(-1)
     fids = {}

@@ -317,6 +317,15 @@ def main(argv=None):
                                epochs_cnn=args.epochs_eval_cnn, seed=args.seed)
         (fid_net, fid_v), (ls_net, ls_v), (div_net, div_v) = nets["fid"], nets["ls"], nets["div"]
 
+        # FID-net features of the full real/fake sets are shared by the kNN,
+        # t-SNE, PRDC, and intra-FID passes — extract them at most once
+        _feat_cache: dict = {}
+
+        def fid_features(name, imgs):
+            if name not in _feat_cache:
+                _feat_cache[name] = extract_features(fid_net.apply, fid_v, imgs)
+            return _feat_cache[name]
+
         if args.knn_analysis or args.frequency_analysis or args.tsne_analysis:
             # qualitative analysis passes (StudioGAN -knn/-fa/-tsne parity;
             # worker.py:1068-1392) over the pinned eval-net feature space
@@ -328,7 +337,8 @@ def main(argv=None):
             embed = lambda x: extract_features(fid_net.apply, fid_v, x)
             if args.knn_analysis:
                 grid = analysis.k_nearest_neighbors(
-                    fakes, real_images, k=7, embed_fn=embed, anchors=8)
+                    fakes, real_images, k=7, anchors=8, embed_fn=embed,
+                    real_features=fid_features("real", real_images))
                 a, kp1 = grid.shape[:2]
                 save_image_grid(grid.reshape(a * kp1, *grid.shape[2:]) / 255.0,
                                 os.path.join(fig_dir, "knn_grid.png"), nrow=kp1)
@@ -344,8 +354,9 @@ def main(argv=None):
                 print(f" frequency analysis -> {fig_dir}/frequency_spectrum.*")
             if args.tsne_analysis:
                 nsub = min(len(real_images), len(fakes), 1000)
-                r2, f2 = analysis.tsne_embeds(embed(real_images[:nsub]),
-                                              embed(fakes[:nsub]))
+                r2, f2 = analysis.tsne_embeds(
+                    fid_features("real", real_images)[:nsub],
+                    fid_features("fake", fakes)[:nsub])
                 np.savez(os.path.join(fig_dir, "tsne.npz"), real_2d=r2, fake_2d=f2)
                 print(f" t-SNE analysis -> {fig_dir}/tsne.npz")
 
@@ -408,16 +419,24 @@ def main(argv=None):
         if args.comp_prdc:
             # PRDC over the same feature net as FID (StudioGAN worker parity,
             # metrics/prdc.py:128-168)
-            Xr = extract_features(fid_net.apply, fid_v, real_images)
-            Xg = extract_features(fid_net.apply, fid_v, fakes)
-            prdc = compute_prdc(Xr, Xg, nearest_k=args.prdc_nearest_k)
+            prdc = compute_prdc(fid_features("real", real_images),
+                                fid_features("fake", fakes),
+                                nearest_k=args.prdc_nearest_k)
 
         ifid = None
         if args.comp_intra_fid:
             # per-label-value FID (StudioGAN worker.py:1392-1466 'iFID'; the
-            # CCGM analog uses raw label values as classes)
+            # CCGM analog bins the continuous labels into shared
+            # equal-frequency classes — exact float equality between real
+            # and generated label values almost never holds
+            from ccdm_tpu.eval.train_backbones import bin_labels_to_classes
+
             ifid_m, ifid_s, _ = intra_class_fid(
-                fid_net.apply, fid_v, real_images, real_labels, fakes, flabels,
+                fid_net.apply, fid_v, real_images,
+                bin_labels_to_classes(real_labels, num_classes),
+                fakes, bin_labels_to_classes(flabels, num_classes, ref=real_labels),
+                feats_real=fid_features("real", real_images),
+                feats_fake=fid_features("fake", fakes),
             )
             ifid = (ifid_m, ifid_s)
 

@@ -25,6 +25,24 @@ import jax
 import jax.numpy as jnp
 
 
+def make_blockdiag(heads: int, dim_head: int, dtype=jnp.float32) -> jax.Array:
+    """[F, F] block-diagonal ones mask, F = heads*dim_head — the shared
+    currency of the full-lane kernels (per-head group sums and cross-head
+    ctx masking via one MXU matmul each)."""
+    return jnp.kron(jnp.eye(heads, dtype=dtype),
+                    jnp.ones((dim_head, dim_head), dtype))
+
+
+def finalize_ctx(a: jax.Array, s: jax.Array, bd: jax.Array, out_dtype) -> jax.Array:
+    """Normalize + block-diag-mask the accumulated context of a two-pass
+    large-N kernel: a [B,F,F] unnormalized exp(k)^T v, s [B,1,F] colsumexp.
+    ONE definition shared by the standalone two-pass linear-attention
+    kernel and the large-N fused attention block — a numerics change here
+    must hit both."""
+    return ((a / jnp.maximum(jnp.transpose(s, (0, 2, 1)), 1e-30)) * bd[None]
+            ).astype(out_dtype)
+
+
 def linear_attention_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Pure-jnp reference: q,k,v [B,N,H,D] -> out [B,N,H,D]."""
     d = q.shape[-1]
@@ -112,7 +130,8 @@ def _kernel_fulllane(q_ref, k_ref, v_ref, bd_ref, o_ref, *, dim_head: int):
     eq = jnp.exp(q_shift)
     group_sum = jax.lax.dot_general(eq.astype(mxu), bd, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-    qs = eq / group_sum * jax.lax.rsqrt(d)
+    # guard: a head group far below the GLOBAL row max underflows eq to 0
+    qs = eq / jnp.maximum(group_sum, 1e-30) * jax.lax.rsqrt(d)
 
     # --- k': softmax over tokens (sublanes)
     ek = jnp.exp(k - jnp.max(k, axis=0, keepdims=True))
@@ -139,7 +158,7 @@ def _forward_pallas_fulllane(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Ar
     f = h * d
     flat = lambda x: x.reshape(b, n, f)
     qc, kc, vc = flat(q), flat(k), flat(v)
-    bd = jnp.kron(jnp.eye(h, dtype=q.dtype), jnp.ones((d, d), q.dtype))
+    bd = make_blockdiag(h, d, q.dtype)
 
     spec = pl.BlockSpec((1, n, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     bd_spec = pl.BlockSpec((f, f), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -217,7 +236,7 @@ def _kernel_out_twopass(q_ref, ctx_ref, bd_ref, o_ref, *, dim_head: int):
         group_sum = jax.lax.dot_general(eq.astype(mxu), bd,
                                         (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-        qs = eq / group_sum * scale
+        qs = eq / jnp.maximum(group_sum, 1e-30) * scale
         out = jax.lax.dot_general(
             qs.astype(mxu), ctx_ref[0],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -274,10 +293,9 @@ def _forward_pallas_twopass(q: jax.Array, k: jax.Array, v: jax.Array,
         ),
     )(kc, vc, m)
 
-    bdf = jnp.kron(jnp.eye(h, dtype=jnp.float32), jnp.ones((d, d), jnp.float32))
+    bdf = make_blockdiag(h, d)
     mxu = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
-    ctx = ((a / jnp.maximum(jnp.transpose(s, (0, 2, 1)), 1e-30)) * bdf[None]
-           ).astype(mxu)
+    ctx = finalize_ctx(a, s, bdf, mxu)
 
     ctx_spec = pl.BlockSpec((1, f, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     bd_spec = pl.BlockSpec((f, f), lambda i, j: (0, 0), memory_space=pltpu.VMEM)

@@ -65,13 +65,17 @@ def resnet_block_reference(x2d, scale, shift, w1, b1, g1, w2, b2, g2,
 
 
 def _conv3x3_flat(flat, w_ref, bias, r, c, hh, ww, cin, mxu):
-    """SAME 3x3 conv on a flat [HW, Cin] map: 9 × (roll + mask + dot).
+    """SAME 3x3 conv on a flat [HW, Cin] map: 9 × (roll + mask + dot),
+    statically unrolled.
 
     w_ref is a [9*Cin, Cout] ref (tap-major); r/c are [HW, 1] row/col
-    index vectors. A `fori_loop` over the taps (dynamic rotate + dynamic
-    weight slice) keeps only ONE tap's temporaries live — the fully
-    unrolled version kept enough [HW, C] intermediates alive to blow the
-    16 MB scoped-VMEM stack at N=4096. Returns f32 [HW, Cout]."""
+    index vectors. Returns f32 [HW, Cout]. The Mosaic scheduler software-
+    pipelines the unroll and keeps ~2 [HW,C] temporaries live PER TAP
+    (rolled + masked copies) — which is why the block is split into two
+    single-conv kernels (see _kernel_a) and why _dispatch budgets ~18
+    [N,C]-equivalents of VMEM. (A fori_loop over taps bounds liveness to
+    one tap but measured 5× slower: dynamic rotate is 32-bit-only and the
+    loop defeats pipelining.)"""
     n = flat.shape[0]
     cout = w_ref.shape[-1]
     acc = None

@@ -30,9 +30,19 @@ def save_checkpoint(results_folder: str, milestone: int | str, tree: Any) -> str
 def load_checkpoint(results_folder: str, milestone: int | str, target: Any = None) -> Any:
     path = _path(results_folder, milestone)
     ckptr = ocp.PyTreeCheckpointer()
-    if target is not None:
-        return ckptr.restore(path, args=ocp.args.PyTreeRestore(item=target))
-    return ckptr.restore(path)
+    try:
+        if target is not None:
+            return ckptr.restore(path, args=ocp.args.PyTreeRestore(item=target))
+        return ckptr.restore(path)
+    except ValueError as e:
+        # orbax's structure-diff formatter itself can crash (array truth
+        # value) while REPORTING a tree mismatch — surface the real cause:
+        # the checkpoint predates a change in the model's parameter tree
+        raise ValueError(
+            f"checkpoint at {path} does not match the current model's "
+            "parameter tree (it was written by an older/incompatible model "
+            "version); retrain or point --resume_niter at a compatible run"
+        ) from e
 
 
 def checkpoint_exists(results_folder: str, milestone: int | str) -> bool:

@@ -126,10 +126,12 @@ def test_large_n_kernel_interpret_matches_reference(rng, monkeypatch, n, chunk):
                                rtol=2e-3, atol=2e-4)
 
 
-def test_large_n_kernel_unshifted_exp_safe_at_10x_scale(rng, monkeypatch):
-    """The large-N path omits the softmax shift (see kernel docstring);
-    verify it stays finite and accurate with inputs 10x the normal
-    activation scale (k values ~30+)."""
+def test_large_n_kernel_unshifted_exp_accurate_below_clamp(rng, monkeypatch):
+    """The large-N path omits the softmax shift (see kernel docstring).
+    Scaling the QKV WEIGHTS (the input scale is normalized away by the
+    prenorm) drives |k| to ~30 — well past normal operation, below the
+    clamp at 45 — where the unshifted exp must still match the shifted
+    reference."""
     import jax.experimental.pallas as pl
 
     orig_call = pl.pallas_call
@@ -142,13 +144,39 @@ def test_large_n_kernel_unshifted_exp_safe_at_10x_scale(rng, monkeypatch):
     heads, dim_head, c, n = 4, 32, 64, 4096
     f = heads * dim_head
     g_pre, wqkv, wout, bout, g_out = _params(rng, c, f)
-    x = jnp.asarray(rng.normal(0, 20, (1, n, c)).astype(np.float32))
-    want = np.asarray(ab.attn_block_reference(x, g_pre, wqkv * 3, wout, bout,
+    x = jnp.asarray(rng.normal(0, 1, (1, n, c)).astype(np.float32))
+    # check the scale actually reaches the intended regime
+    xn = np.asarray(ab._rms_norm(x, g_pre))
+    k = np.einsum("bnc,cf->bnf", xn, np.asarray(wqkv * 8)[:, f:2 * f])
+    assert 20 < np.abs(k).max() < 45, np.abs(k).max()
+    want = np.asarray(ab.attn_block_reference(x, g_pre, wqkv * 8, wout, bout,
                                               g_out, heads, dim_head))
-    got = np.asarray(ab._forward_pallas_large(x, g_pre, wqkv * 3, wout, bout,
+    got = np.asarray(ab._forward_pallas_large(x, g_pre, wqkv * 8, wout, bout,
                                               g_out, heads, dim_head))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
+
+
+def test_large_n_kernel_clamp_prevents_inf_at_extreme_k(rng, monkeypatch):
+    """With |k| ~ 150 (far past the 45 clamp) the unclamped exp would be
+    inf; the kernel must stay finite (graceful degradation during
+    training blow-ups, not NaN losses)."""
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    heads, dim_head, c, n = 4, 32, 64, 2048
+    f = heads * dim_head
+    g_pre, wqkv, wout, bout, g_out = _params(rng, c, f)
+    x = jnp.asarray(rng.normal(0, 1, (1, n, c)).astype(np.float32))
+    got = np.asarray(ab._forward_pallas_large(x, g_pre, wqkv * 40, wout, bout,
+                                              g_out, heads, dim_head))
+    assert np.isfinite(got).all()
 
 
 def test_large_n_kernel_bf16(rng, monkeypatch):
