@@ -146,6 +146,12 @@ def parse_opts(argv=None):
     parser.add_argument("--GAN_test", action="store_true", default=False,
                         help="CAS precision leg: train classifier on REAL, test "
                              "on FAKE (StudioGAN worker.py:1529)")
+
+    # Serving surface (ccdm_tpu/serve.py; no reference analog)
+    parser.add_argument("--serve_port", type=int, default=8600)
+    parser.add_argument("--serve_milestone", type=int, default=0,
+                        help="milestone to load for serving (0 = fresh weights; "
+                             "only useful for smoke tests)")
     parser.add_argument("--epochs_eval_ae", type=int, default=10,
                         help="epochs for training the SFID autoencoder backbone")
     parser.add_argument("--epochs_eval_cnn", type=int, default=20,

@@ -369,9 +369,12 @@ class Trainer:
         sample_timesteps: int = 1000,
         ddim_eta: float = 0.0,
         use_ema: bool = True,
+        key_base: int = 1,
     ):
         """Batched EMA sampling for an array of normalized labels
-        (reference trainer.py:782-869). Returns (images, labels)."""
+        (reference trainer.py:782-869). Returns (images, labels).
+        key_base seeds the sampling noise stream (serving passes per-request
+        seeds; the default matches the reference's fixed stream)."""
         labels = np.asarray(given_labels, dtype=np.float32)
         labels2d = labels[:, None] if labels.ndim == 1 else labels
         assert labels2d.min() >= 0 and labels2d.max() <= 1.0
@@ -404,7 +407,7 @@ class Trainer:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
             y = jnp.asarray(chunk)
             emb = fn_y2h(y)
-            imgs = sample_fn(variables, jax.random.fold_in(jax.random.PRNGKey(1), done), emb, y)
+            imgs = sample_fn(variables, jax.random.fold_in(jax.random.PRNGKey(key_base), done), emb, y)
             imgs = np.asarray(imgs)[: len(chunk) - pad or None]
             if denorm:
                 imgs = np.asarray(to_uint8(jnp.asarray(imgs)))
