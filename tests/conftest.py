@@ -20,6 +20,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by jit
+# compiles of near-identical graphs; warm re-runs (CI retries, the driver
+# gate, local iteration) skip them entirely. Keyed by HLO, so code changes
+# invalidate exactly the affected entries.
+try:
+    _cache_dir = os.environ.get("CCDM_TPU_TEST_CACHE", "/tmp/ccdm_test_jax_cache")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass  # older jax: run uncached
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -222,6 +222,7 @@ def test_gradients_flow_through_custom_vjp(rng):
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # compile-heavy; parity pinned elsewhere
 def test_unet_param_count_unchanged_by_fusion(rng):
     """The fused module declares the same parameters as the old
     PreNormResidual(LinearAttention) composition (reference parity tests

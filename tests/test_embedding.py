@@ -87,6 +87,7 @@ def test_embedding_distinguishes_labels():
     assert np.linalg.norm(e[0] - e[1]) > 0.1
 
 
+@pytest.mark.slow  # compile-heavy; parity pinned elsewhere
 def test_resnet_embed_shapes():
     net = ResNetEmbed(dim_embed=32, label_dim=1, num_blocks=(1, 1, 1, 1))
     k = jax.random.PRNGKey(0)

@@ -33,6 +33,7 @@ def test_gan_shapes_64(G_cls, D_cls):
     assert out.shape == (2,)
 
 
+@pytest.mark.slow  # compile-heavy; parity pinned elsewhere
 def test_gan_conditioning_matters():
     G = SNGANGenerator(dim_z=16, dim_embed=16, nc=3, img_size=64, gene_ch=4)
     k = jax.random.PRNGKey(1)

@@ -16,13 +16,16 @@ from ccdm_tpu.models import Unet, ViT
 # Image sizes are scaled down 4x from the reference configs (64->16 etc.) to
 # keep CPU-compile times sane; the dim_mults depth/structure is what the test
 # exercises and divisibility by 2^(len(mults)-1) is preserved.
+# default lane compiles ONE config; the rest are nightly (each Unet init+
+# forward costs 15-30s of CPU compile and the shapes logic is identical)
+_slow = pytest.mark.slow
 CONFIGS = [
     ("RC49_64", 16, 3, 8, (1, 2, 2, 4, 8)),
-    ("UK64", 16, 3, 8, (1, 2, 4, 4, 8)),
-    ("UK128", 32, 3, 8, (1, 2, 4, 4, 8, 8)),
-    ("UK192", 64, 3, 8, (1, 2, 2, 4, 4, 8, 8)),
-    ("SA64", 16, 3, 8, (1, 2, 2, 4, 8)),
-    ("SA128", 32, 3, 8, (1, 2, 2, 4, 4, 8)),
+    pytest.param("UK64", 16, 3, 8, (1, 2, 4, 4, 8), marks=_slow),
+    pytest.param("UK128", 32, 3, 8, (1, 2, 4, 4, 8, 8), marks=_slow),
+    pytest.param("UK192", 64, 3, 8, (1, 2, 2, 4, 4, 8, 8), marks=_slow),
+    pytest.param("SA64", 16, 3, 8, (1, 2, 2, 4, 8), marks=_slow),
+    pytest.param("SA128", 32, 3, 8, (1, 2, 2, 4, 4, 8), marks=_slow),
     ("Cell200_64", 16, 1, 8, (1, 2, 2, 4)),
 ]
 
