@@ -124,6 +124,11 @@ def main():
         # workload's own regime, not a bench trick
         uk128 = dict(img=128, nc=3, batch=48, steps=250, dim=64,
                      mults=(1, 2, 4, 4, 8, 8), cond_scale=2.0, n_rep=1)
+        # UTKFace-192 flagship resolution (scripts/UK192/linux/run_ccdm.sh:
+        # mults 1_2_2_4_4_8_8, DDIM-100 in the reference's own sampling
+        # setup; benched at DDIM-250 like the other rows for comparability)
+        uk192 = dict(img=192, nc=3, batch=24, steps=250, dim=64,
+                     mults=(1, 2, 2, 4, 4, 8, 8), cond_scale=2.0, n_rep=1)
         train = dict(img=64, nc=3, batch=128, dim=64, mults=(1, 2, 2, 4, 8),
                      n_steps=20)
     else:  # keep CI/dev runs tractable
@@ -131,6 +136,8 @@ def main():
                     mults=(1, 2), cond_scale=1.5, n_rep=1)
         uk128 = dict(img=32, nc=3, batch=4, steps=10, dim=16,
                      mults=(1, 2, 4), cond_scale=2.0, n_rep=1)
+        uk192 = dict(img=32, nc=3, batch=4, steps=10, dim=16,
+                     mults=(1, 2, 2, 4), cond_scale=2.0, n_rep=1)
         train = dict(img=16, nc=3, batch=16, dim=16, mults=(1, 2), n_steps=3)
 
     value = bench_sampler(jax, jnp, **head)
@@ -140,6 +147,10 @@ def main():
         extra["uk128_img_s"] = round(bench_sampler(jax, jnp, **uk128), 3)
     except Exception as e:  # never lose the headline to an extra
         extra["uk128_error"] = type(e).__name__
+    try:
+        extra["uk192_img_s"] = round(bench_sampler(jax, jnp, **uk192), 3)
+    except Exception as e:
+        extra["uk192_error"] = type(e).__name__
     try:
         extra["train_img_s"] = round(bench_train(jax, jnp, **train), 1)
     except Exception as e:

@@ -122,9 +122,12 @@ class GaussianDiffusion:
         vicinal_weights: Optional[jax.Array] = None,
         kappa: float | jax.Array = 0.01,
         train: bool = True,
+        aux_info: Optional[dict] = None,
     ):
         """Vicinal diffusion loss. images01 in [0,1] NHWC (the trainer feeds
         [0,1]; normalization to [-1,1] happens here, ref diffusion.py:755).
+
+        aux_info (optional): elastic aux-regressor loss, see _elastic_aux.
 
         Returns (loss_scalar, updates) where updates holds mutated
         batch_stats when train=True (else {}).
@@ -175,7 +178,11 @@ class GaussianDiffusion:
         per_sample = jnp.mean(sq.reshape(b, -1), axis=-1) * sched.loss_weight[t]
 
         if vicinal_weights is None or c.vicinity_type == "none":
-            return jnp.mean(per_sample), updates
+            loss = jnp.mean(per_sample)
+            if aux_info is not None and c.objective == "pred_noise":
+                loss = loss + self._elastic_aux(x_start, t, model_out, keep_mask,
+                                                labels, aux_info)
+            return loss, updates
 
         labels2d = jnp.atleast_2d(labels.astype(jnp.float32))
         if labels2d.shape[0] == 1 and b > 1:
@@ -194,7 +201,35 @@ class GaussianDiffusion:
         # (diffusion.py:597-733); per-sample weighted reduction is
         # weighted_loss() (the vanilla-tree semantics).
         loss = jnp.sum(w * per_sample) / b
+        if aux_info is not None and c.objective == "pred_noise":
+            # the reference wires the elastic loss only alongside vicinal
+            # weighting (vanilla diffusion.py:444 gates on vicinal_weights)
+            loss = loss + self._elastic_aux(x_start, t, model_out, keep_mask,
+                                            labels, aux_info)
         return loss, updates
+
+    def _elastic_aux(self, x_start, t, model_out, keep_mask, labels, aux_info):
+        """Elastic aux-regressor loss (vanilla diffusion.py:444-471): rebuild
+        x_t from the PREDICTED noise, regress labels with the frozen aux net,
+        penalize |y_pred - y| only outside the vicinity radius and on
+        non-null rows; active once current_step >= aux_start_step.
+
+        aux_info: {apply: fn(x_t_hat, t) -> [B,1], lambda_aux, vicinity_radius,
+        aux_start_step?, current_step?}.
+        """
+        x_t_hat = q_sample(self.schedule, x_start, t, model_out)
+        y_pred = aux_info["apply"](x_t_hat, t).reshape(-1)
+        labels_gt = jnp.atleast_2d(labels.astype(jnp.float32))
+        if labels_gt.shape[0] == 1 and x_start.shape[0] > 1:
+            labels_gt = labels_gt.T
+        err = jnp.abs(y_pred - labels_gt[:, 0])
+        aux_w = keep_mask.astype(jnp.float32) * (err > aux_info["vicinity_radius"])
+        n_nonzero = jnp.maximum(jnp.sum(aux_w), 1.0)
+        term = aux_info["lambda_aux"] * jnp.sum(aux_w * err) / n_nonzero
+        step = aux_info.get("current_step")
+        if step is not None:
+            term = jnp.where(step >= aux_info.get("aux_start_step", 0), term, 0.0)
+        return term
 
     def weighted_loss(
         self,
@@ -211,11 +246,8 @@ class GaussianDiffusion:
         applied directly (no intra-batch pairwise weighting), null-CFG rows
         forced to weight 1 (`CCDM_vanilla/.../diffusion.py:388-436`).
 
-        aux_info (optional, vanilla `:444-471` elastic loss): dict with
-        `apply` (fn(x_t_hat, t) -> y_pred [B,1]), `labels_gt` [B],
-        `vicinity_radius`, `lambda_aux`; adds lambda_aux * mean(|y_pred - y|)
-        over non-null rows whose error exceeds the vicinity radius. Only
-        meaningful for pred_noise (the reference gates on it).
+        aux_info (optional, vanilla `:444-471` elastic loss): see
+        _elastic_aux; only active for pred_noise (the reference gates on it).
         """
         c = self.config
         sched = self.schedule
@@ -256,15 +288,8 @@ class GaussianDiffusion:
         loss = jnp.sum(w * per_sample) / b
 
         if aux_info is not None and c.objective == "pred_noise":
-            # elastic aux loss (vanilla diffusion.py:444-471): regress labels
-            # from x_t rebuilt with the PREDICTED noise; penalize |err| only
-            # outside the vicinity radius and on non-null rows.
-            x_t_hat = q_sample(sched, x_start, t, model_out)
-            y_pred = aux_info["apply"](x_t_hat, t).reshape(-1)
-            err = jnp.abs(y_pred - aux_info["labels_gt"].reshape(-1))
-            aux_w = keep_mask.astype(jnp.float32) * (err > aux_info["vicinity_radius"])
-            n_nonzero = jnp.maximum(jnp.sum(aux_w), 1.0)
-            loss = loss + aux_info["lambda_aux"] * jnp.sum(aux_w * err) / n_nonzero
+            loss = loss + self._elastic_aux(x_start, t, model_out, keep_mask,
+                                            labels, aux_info)
 
         return loss, updates
 
@@ -283,13 +308,14 @@ class GaussianDiffusion:
         """(pred_noise, x_start) with classifier-free guidance.
 
         cond+null batched as one 2B forward when cond_scale != 1
-        (ref models/unet.py:350-380 runs them sequentially).
+        (ref models/unet.py:350-380 runs them sequentially). A traced
+        cond_scale (jnp scalar) always takes the 2B path.
         """
         c = self.config
         sched = self.schedule
         b = x.shape[0]
 
-        if cond_scale == 1.0:
+        if isinstance(cond_scale, (int, float)) and float(cond_scale) == 1.0:
             out = self.apply_fn(
                 variables, x, t, labels_emb, jnp.ones((b,), dtype=bool), train=False
             )

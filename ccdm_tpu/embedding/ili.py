@@ -163,13 +163,37 @@ def train_label_mlp(
     return {"params": params}
 
 
+def find_cached_embedding(embed_dir: str, prefix: str, exact_tag: str) -> Optional[str]:
+    """Cache discovery with a relaxed fallback: prefer the exact tag, else the
+    most recent checkpoint with the same prefix+dim (so a consumer with
+    different epoch/seed defaults — dmd_main, serve — still finds the
+    teacher's trained embedding). Mirrors the reference's two-path-convention
+    probing (`label_embedding.py:384-435`)."""
+    if checkpoint_exists(embed_dir, exact_tag):
+        return exact_tag
+    import glob
+
+    hits = glob.glob(os.path.join(embed_dir, f"model-{prefix}_*"))
+    hits = [h for h in hits if os.path.isdir(h)]
+    if not hits:
+        return None
+    newest = max(hits, key=os.path.getmtime)
+    return os.path.basename(newest)[len("model-"):]
+
+
 class LabelEmbed:
     """Train-or-load the ILI pipeline; exposes fn_y2h / fn_y2cov closures
-    (interface seam of `label_embedding.py:212`, SURVEY.md §7.1-3)."""
+    (interface seam of `label_embedding.py:212`, SURVEY.md §7.1-3).
+
+    With ``dataset=None`` (or ``require_cached=True``) the pipeline is
+    load-only: cached embed_models checkpoints are required, and a missing
+    cache raises ``FileNotFoundError`` with a clear remedy instead of
+    silently training or falling back to a different embedding space —
+    the consumer contract of `dmd.py:104-146` / serving."""
 
     def __init__(
         self,
-        dataset,  # DatasetBundle
+        dataset,  # DatasetBundle, or None for load-only mode
         path: str,
         dim_embed: int = 128,
         y2h_type: str = "resnet",
@@ -182,22 +206,39 @@ class LabelEmbed:
         batch_size: int = 256,
         seed: int = 0,
         dim_combination: str = "mean",
+        require_cached: bool = False,
+        label_dim: Optional[int] = None,
     ):
         self.dim_embed = dim_embed
         embed_dir = os.path.join(path, "embed_models")
         os.makedirs(embed_dir, exist_ok=True)
+        load_only = require_cached or dataset is None
 
-        labels = np.asarray(dataset.labels_norm, np.float32)
-        label_dim = 1 if labels.ndim == 1 else labels.shape[1]
+        if dataset is not None:
+            labels = np.asarray(dataset.labels_norm, np.float32)
+            label_dim = 1 if labels.ndim == 1 else labels.shape[1]
+            uniq = np.unique(labels.reshape(len(labels), -1), axis=0)
+        else:
+            label_dim = label_dim or 1
+            uniq = None
         noise_sigma = 0.2 if label_dim == 1 else 0.05
-        uniq = np.unique(labels.reshape(len(labels), -1), axis=0)
 
         # ---- y2h
         tag = f"y2h_d{dim_embed}_e{epochs_cnn}_m{epochs_mlp}_seed{seed}"
+        cached_tag = find_cached_embedding(embed_dir, f"y2h_d{dim_embed}", tag)
         resnet_vars = None  # only set on a fresh training run (not cache reload)
-        if checkpoint_exists(embed_dir, tag):
-            stored = load_checkpoint(embed_dir, tag)
+        if cached_tag is not None:
+            stored = load_checkpoint(embed_dir, cached_tag)
             mlp_vars = stored["mlp"]
+            if cached_tag != tag:
+                print(f" ILI y2h: loaded cached '{cached_tag}' "
+                      f"(requested '{tag}' not found)")
+        elif load_only:
+            raise FileNotFoundError(
+                f"no trained ILI y2h embedding (y2h_d{dim_embed}_*) under "
+                f"{embed_dir}; train the teacher first (main.py with "
+                f"--y2h_embed_type resnet) or point at its setting folder"
+            )
         else:
             resnet_vars = train_resnet_embed(
                 dataset.images, labels, dim_embed,
@@ -256,9 +297,17 @@ class LabelEmbed:
             assert cov_dim is not None
             tag_cov = f"y2cov_d{cov_dim}_e{epochs_cnn_y2cov}_m{epochs_mlp_y2cov}_seed{seed}"
             if y2cov_type == "resnet":
-                if checkpoint_exists(embed_dir, tag_cov):
-                    stored = load_checkpoint(embed_dir, tag_cov)
+                cached_cov = find_cached_embedding(embed_dir, f"y2cov_d{cov_dim}", tag_cov)
+                if cached_cov is not None:
+                    stored = load_checkpoint(embed_dir, cached_cov)
                     cov_vars = stored["mlp"]
+                    if cached_cov != tag_cov:
+                        print(f" ILI y2cov: loaded cached '{cached_cov}'")
+                elif load_only:
+                    raise FileNotFoundError(
+                        f"no trained ILI y2cov embedding (y2cov_d{cov_dim}_*) "
+                        f"under {embed_dir}; train the teacher first"
+                    )
                 else:
                     resnet_cov_vars = train_resnet_embed(
                         dataset.images, labels, cov_dim,

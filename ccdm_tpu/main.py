@@ -80,7 +80,6 @@ def main(argv=None):
 
     from ccdm_tpu.data import load_dataset
     from ccdm_tpu.diffusion import DiffusionConfig, GaussianDiffusion
-    from ccdm_tpu.embedding import make_fn_y2h, make_fn_y2cov
     from ccdm_tpu.training import Trainer, TrainerConfig
     from ccdm_tpu.utils.ckpt import checkpoint_exists
     from ccdm_tpu.utils.viz import save_image_grid
@@ -138,28 +137,11 @@ def main(argv=None):
         args.num_projections = 10 if d > 20 else 5 if d > 10 else 3 if d > 5 else 1
         print(f"\r Auto-set num_projections={args.num_projections} for label_dim={d}")
 
-    # label embedding
+    # label embedding (shared construction seam — also used by dmd_main/serve)
     resolve_label_embed(args)
-    if args.y2h_embed_type == "resnet":
-        from ccdm_tpu.embedding.ili import LabelEmbed
-        le = LabelEmbed(bundle, setting_folder, dim_embed=args.dim_embed,
-                        y2h_type="resnet",
-                        y2cov_type=args.y2cov_embed_type if args.use_Hy else None,
-                        cov_dim=bundle.channels * bundle.image_size**2,
-                        epochs_cnn=args.epoch_cnn_embed, epochs_mlp=args.epoch_net_y2h,
-                        batch_size=args.batch_size_embed, seed=args.seed,
-                        dim_combination=args.dim_combination)
-        fn_y2h = le.fn_y2h
-        fn_y2cov = le.fn_y2cov if args.use_Hy else None
-    else:
-        fn_y2h = make_fn_y2h(args.dim_embed, args.y2h_embed_type, bundle.label_dim,
-                             dim_combination=args.dim_combination)
-        fn_y2cov = (
-            make_fn_y2cov(bundle.channels * bundle.image_size**2,
-                          args.y2cov_embed_type, bundle.label_dim,
-                          dim_combination=args.dim_combination)
-            if args.use_Hy else None
-        )
+    from ccdm_tpu.embedding.resolve import build_label_embedding
+
+    fn_y2h, fn_y2cov = build_label_embedding(args, setting_folder, bundle=bundle)
 
     # denoiser + diffusion
     model = build_model(args, bundle.image_size, bundle.channels)
@@ -220,7 +202,20 @@ def main(argv=None):
         log_every=args.log_every,
         seed=args.seed,
     )
-    trainer = Trainer(diffusion, variables, bundle.images, bundle.labels_norm, tcfg)
+    # optional elastic aux loss: train-or-load the label regressor
+    # (the reference keeps this block commented at vanilla main.py:287-308)
+    aux_info = None
+    if args.lambda_aux > 0:
+        from ccdm_tpu.training.train_aux import get_aux_net
+
+        aux_apply = get_aux_net(bundle, setting_folder, name=args.net_aux,
+                                epochs=args.epoch_aux,
+                                batch_size=args.batch_size_aux, seed=args.seed)
+        aux_info = {"apply": aux_apply, "lambda_aux": args.lambda_aux,
+                    "aux_start_step": args.aux_start_step}
+
+    trainer = Trainer(diffusion, variables, bundle.images, bundle.labels_norm, tcfg,
+                      aux_info=aux_info)
     print(f" sigma_delta={trainer.sigma_delta}, kappa={trainer.kappa}")
 
     if args.resume_niter > 0 and checkpoint_exists(results_folder, args.resume_niter):
@@ -229,6 +224,49 @@ def main(argv=None):
 
     trainer.train(fn_y2h)
     trainer.save(args.niters)
+
+    from ccdm_tpu.training.state import ema_variables
+
+    if args.gif_trajectory:
+        # denoising-trajectory GIF for the visual label grid (vanilla
+        # trainer.py:421-458 generate_intermediate_gifs)
+        from ccdm_tpu.utils.viz import save_gif
+
+        y = jnp.asarray(y_visual.reshape(len(y_visual), -1))
+        frames = diffusion.ddim_sample(
+            ema_variables(trainer.state), jax.random.PRNGKey(args.seed),
+            fn_y2h(y), labels=y, cond_scale=args.sample_cond_scale,
+            sampling_timesteps=min(args.sample_timesteps, 50),
+            save_intermediate=True,
+        )
+        gif_path = os.path.join(results_folder, f"trajectory_niters{args.niters}.gif")
+        save_gif(np.asarray(frames), gif_path, nrow=6)
+        print(f" trajectory GIF -> {gif_path}")
+
+    if args.interpolation:
+        # latent blending between two real eval images at the median label
+        # (vanilla diffusion.py:369-383 interpolate)
+        from ccdm_tpu.ops.image import to_uint8
+        from ccdm_tpu.utils.viz import save_image_grid
+
+        order = np.argsort(bundle.labels_norm.reshape(len(bundle.labels_norm), -1)[:, 0])
+        i0, i1 = order[len(order) // 4], order[3 * len(order) // 4]
+        x_pair = bundle.images[[i0, i1]].astype(np.float32) / 255.0 * 2.0 - 1.0
+        y_mid = np.median(bundle.labels_norm.reshape(len(bundle.labels_norm), -1)[:, 0])
+        lams = np.linspace(0.0, 1.0, 8)
+        rows = []
+        for lam in lams:
+            img = diffusion.interpolate(
+                ema_variables(trainer.state), jax.random.PRNGKey(args.seed),
+                jnp.asarray(x_pair[:1]), jnp.asarray(x_pair[1:]),
+                fn_y2h(jnp.full((1, max(bundle.label_dim, 1)), y_mid)),
+                t=min(args.train_timesteps // 4, 250), lam=float(lam),
+            )
+            rows.append(np.asarray(to_uint8((img + 1.0) / 2.0))[0])
+        itp_path = os.path.join(results_folder, f"interpolation_niters{args.niters}.png")
+        save_image_grid(np.stack(rows).astype(np.float32) / 255.0, itp_path,
+                        nrow=len(lams))
+        print(f" interpolation grid -> {itp_path}")
 
     # ---------------- per-eval-label sampling + h5 dump (main.py:483-594)
     eval_labels = get_eval_labels(bundle, args)
@@ -260,11 +298,14 @@ def main(argv=None):
                 ddim_eta=args.ddim_eta,
             )
             sample_time_i = timeit.default_timer() - start
-            with h5py.File(fp, "w") as f:
-                f.create_dataset("fake_images_i", data=fake_images_i, dtype="uint8",
-                                 compression="gzip", compression_opts=6)
-                f.create_dataset("fake_labels_i", data=fake_labels_i, dtype="float")
-                f.create_dataset("sample_time_i", data=np.array([sample_time_i]), dtype="float")
+            if args.dump_fake_data:
+                # h5 persistence is opt-in (ref main.py:541); sampling and
+                # the in-memory eval path run either way
+                with h5py.File(fp, "w") as f:
+                    f.create_dataset("fake_images_i", data=fake_images_i, dtype="uint8",
+                                     compression="gzip", compression_opts=6)
+                    f.create_dataset("fake_labels_i", data=fake_labels_i, dtype="float")
+                    f.create_dataset("sample_time_i", data=np.array([sample_time_i]), dtype="float")
             save_image_grid(fake_images_i[:36].astype(np.float32) / 255.0,
                             os.path.join(dump_folder, f"sample_{curr_label}.png"), nrow=6)
         else:
@@ -471,3 +512,12 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+    # The axon PJRT client can hang interpreter teardown after all work is
+    # complete (observed on-TPU: the CLI prints its final line, the process
+    # never exits, and the chip stays held). All artifacts are on disk when
+    # main() returns — flush and exit without running backend teardown.
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

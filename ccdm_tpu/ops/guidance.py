@@ -50,8 +50,12 @@ def apply_cfg(
 
     Returns (guided_logits, null_logits) like the reference's
     forward_with_cond_scale.
+
+    cond_scale may be a python float (static; unit scale short-circuits) or a
+    traced jnp scalar (serving passes it as a runtime argument so one
+    compiled sampler covers every requested scale).
     """
-    if cond_scale == 1.0:
+    if isinstance(cond_scale, (int, float)) and float(cond_scale) == 1.0:
         return logits, null_logits
     update = logits - null_logits
     if remove_parallel_component:

@@ -103,6 +103,17 @@ def parse_opts(argv=None):
     parser.add_argument("--epoch_net_y2cov", type=int, default=500)
     parser.add_argument("--batch_size_embed_y2cov", type=int, default=256)
 
+    # Auxiliary elastic loss (vanilla opts.py:36-42 + train_aux_net.py)
+    parser.add_argument("--lambda_aux", type=float, default=0.0,
+                        help=">0 enables the elastic aux label loss "
+                             "(pred_noise only; vanilla diffusion.py:444-471)")
+    parser.add_argument("--net_aux", type=str, default="ResNet34",
+                        choices=["VGG11", "VGG13", "VGG16", "VGG19",
+                                 "ResNet18", "ResNet34"])
+    parser.add_argument("--epoch_aux", type=int, default=200)
+    parser.add_argument("--batch_size_aux", type=int, default=256)
+    parser.add_argument("--aux_start_step", type=int, default=0)
+
     # Vicinal loss
     parser.add_argument("--kernel_sigma", type=float, default=-1.0)
     parser.add_argument("--kappa", type=float, default=-1.0)
@@ -115,7 +126,17 @@ def parse_opts(argv=None):
     parser.add_argument("--ddim_eta", type=float, default=0.0)
     parser.add_argument("--nfake_per_label", type=int, default=200)
     parser.add_argument("--samp_batch_size", type=int, default=100)
-    parser.add_argument("--dump_fake_data", action="store_true", default=False)
+    parser.add_argument("--dump_fake_data", action="store_true", default=False,
+                        help="persist per-label fake h5 dumps (ref "
+                             "main.py:541; sampling runs either way)")
+    parser.add_argument("--gif_trajectory", action="store_true", default=False,
+                        help="save an animated GIF of the DDIM denoising "
+                             "trajectory for the visual label grid "
+                             "(vanilla trainer.py:421-458)")
+    parser.add_argument("--interpolation", action="store_true", default=False,
+                        help="latent-blending interpolation grid between two "
+                             "eval images (vanilla diffusion.py:369-383 / "
+                             "StudioGAN -itp)")
 
     # Evaluation surface (vanilla opts.py:74-102)
     parser.add_argument("--comp_FID", action="store_true", default=False)
@@ -149,6 +170,12 @@ def parse_opts(argv=None):
 
     # Serving surface (ccdm_tpu/serve.py; no reference analog)
     parser.add_argument("--serve_port", type=int, default=8600)
+    parser.add_argument("--serve_host", type=str, default="127.0.0.1",
+                        help="bind address; 0.0.0.0 exposes the chip to the "
+                             "network and is an explicit opt-in")
+    parser.add_argument("--serve_max_labels", type=int, default=1024,
+                        help="per-request label-count cap (each /generate "
+                             "holds the accelerator lock)")
     parser.add_argument("--serve_milestone", type=int, default=0,
                         help="milestone to load for serving (0 = fresh weights; "
                              "only useful for smoke tests)")

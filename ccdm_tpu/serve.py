@@ -21,6 +21,17 @@ API:
 
 Labels are NORMALIZED (the model's conditioning space, [0,1]); divide raw
 labels by the dataset's max first, exactly as training does.
+
+Operational contract:
+- binds 127.0.0.1 by default (--serve_host 0.0.0.0 is an explicit opt-in:
+  every /generate holds the accelerator for a full DDIM run);
+- per-request label count capped (--serve_max_labels, 400 on violation);
+- cond_scale is a TRACED argument of the one warm sampler — arbitrary
+  per-request scales do NOT recompile (at most one extra compile if a
+  client requests exactly 1.0, which uses the cheaper single-pass variant);
+- resnet-ILI models load their trained y2h embedding from the run's
+  embed_models cache; a missing cache fails at startup, never silently
+  swaps embedding spaces.
 """
 
 from __future__ import annotations
@@ -38,11 +49,14 @@ import numpy as np
 class SamplerService:
     """Owns the model, EMA weights, and the warm jitted sampler."""
 
-    def __init__(self, args, max_batch: int = 64, warm: bool = True):
+    def __init__(self, args, max_batch: int = 64, warm: bool = True,
+                 max_labels: int = 1024):
+        import os
+
         import jax.numpy as jnp
 
         from ccdm_tpu.diffusion import DiffusionConfig, GaussianDiffusion
-        from ccdm_tpu.embedding import make_fn_y2h
+        from ccdm_tpu.embedding.resolve import build_label_embedding
         from ccdm_tpu.main import build_model, resolve_label_embed
         from ccdm_tpu.training import Trainer, TrainerConfig
         from ccdm_tpu.utils.ckpt import checkpoint_exists
@@ -56,13 +70,17 @@ class SamplerService:
             jnp.zeros((2,), jnp.int32), jnp.zeros((2, args.dim_embed)),
             None, train=False,
         )
+        setting_folder = os.path.dirname(os.path.abspath(args.results_folder))
+        fn_y2h, fn_y2cov = build_label_embedding(
+            args, setting_folder, bundle=None, require_cached=True)
         dcfg = DiffusionConfig(
             image_size=args.image_size, channels=channels,
             timesteps=args.train_timesteps,
             sampling_timesteps=args.sample_timesteps,
             objective=args.pred_objective, beta_schedule=args.beta_schedule,
+            use_Hy=args.use_Hy,
         )
-        diffusion = GaussianDiffusion(model.apply, dcfg)
+        diffusion = GaussianDiffusion(model.apply, dcfg, fn_y2cov=fn_y2cov)
         # serving needs no data: the Trainer is used purely as the EMA
         # state container + sampler cache (sample_given_labels)
         dummy = np.full((2, args.image_size, args.image_size, channels), 128,
@@ -81,8 +99,13 @@ class SamplerService:
                     f"{args.results_folder}")
             self.trainer.load(args.serve_milestone)
             self.loaded_milestone = args.serve_milestone
-        self.fn_y2h = make_fn_y2h(args.dim_embed, embed_type=args.y2h_embed_type)
+        # Serving never trains: a resnet-ILI model loads its cached
+        # embed_models from the run's setting folder (the parent of
+        # results_folder) or fails fast with a clear FileNotFoundError —
+        # NOT a silent fall-back to a different embedding space.
+        self.fn_y2h = fn_y2h
         self.max_batch = max_batch
+        self.max_labels = max_labels
         self.cond_scale = args.sample_cond_scale
         self.sample_timesteps = args.sample_timesteps
         self.sampler = args.sampler
@@ -99,6 +122,10 @@ class SamplerService:
         labels01 = np.asarray(labels01, np.float32)
         if labels01.ndim != 1 or len(labels01) == 0:
             raise ValueError("labels must be a non-empty 1-D list")
+        if len(labels01) > self.max_labels:
+            raise ValueError(
+                f"request too large: {len(labels01)} labels "
+                f"(cap {self.max_labels}); split into smaller requests")
         if labels01.min() < 0.0 or labels01.max() > 1.0:
             raise ValueError("labels must be normalized to [0,1]")
         n = len(labels01)
@@ -168,11 +195,11 @@ def make_handler(service: SamplerService):
     return Handler
 
 
-def serve(service: SamplerService, port: int):
+def serve(service: SamplerService, port: int, host: str = "127.0.0.1"):
     from http.server import ThreadingHTTPServer
 
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
-    print(f" serving on :{port} (milestone={service.loaded_milestone})")
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    print(f" serving on {host}:{port} (milestone={service.loaded_milestone})")
     httpd.serve_forever()
 
 
@@ -187,8 +214,11 @@ def main(argv=None):
     args.results_folder = os.path.join(
         args.root_path, "output", f"{args.data_name}_{args.image_size}",
         args.setting_name, "results")
-    service = SamplerService(args, max_batch=args.samp_batch_size)
-    serve(service, args.serve_port)
+    service = SamplerService(args, max_batch=args.samp_batch_size,
+                             max_labels=args.serve_max_labels)
+    # binds loopback by default; every /generate costs a full accelerator
+    # run, so external exposure (--serve_host 0.0.0.0) is an explicit opt-in
+    serve(service, args.serve_port, host=args.serve_host)
 
 
 if __name__ == "__main__":

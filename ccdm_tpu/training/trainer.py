@@ -102,6 +102,7 @@ class Trainer:
         train_labels: np.ndarray,  # [N] or [N,D] normalized to [0,1]
         config: TrainerConfig,
         mesh=None,
+        aux_info: Optional[dict] = None,
     ):
         cfg = config
         assert train_images.dtype == np.uint8 and train_images.max() > 1, \
@@ -151,6 +152,9 @@ class Trainer:
         self.state: TrainState = jax.device_put(create_train_state(variables, self.tx), rep)
 
         os.makedirs(cfg.results_folder, exist_ok=True)
+        # elastic aux loss (--lambda_aux): {apply, lambda_aux,
+        # vicinity_radius, aux_start_step}; current_step is added per step
+        self.aux_info = aux_info
         self._train_step = None  # built lazily per fn_y2h
         self._sample_fns = {}
 
@@ -231,7 +235,15 @@ class Trainer:
         diffusion = self.diffusion
         use_batch_weights = cfg.vicinal_mode == "batch" and cfg.vicinity_type != "none"
 
-        def loss_fn(params, batch_stats, key):
+        def _aux(step):
+            if self.aux_info is None:
+                return None
+            info = dict(self.aux_info)
+            info.setdefault("vicinity_radius", float(np.atleast_1d(np.asarray(self.kappa))[0]))
+            info["current_step"] = step
+            return info
+
+        def loss_fn(params, batch_stats, key, step):
             # distinct streams: with threefry, split(key,3) == split(key,6)[:3],
             # so reusing `key` for both the batch draw and the loss would make
             # the CFG drop mask overlap the vicinity-selection uniforms.
@@ -243,20 +255,21 @@ class Trainer:
             loss, updates = diffusion.loss(
                 variables, k_loss, images01, loss_labels, labels_emb,
                 vicinal_weights=weights if use_batch_weights else None,
-                kappa=kappa, train=True,
+                kappa=kappa, train=True, aux_info=_aux(step),
             )
             return loss, updates
 
         # vanilla "target" mode: the trainer-computed per-sample weights are
         # applied directly (no intra-batch pairwise weighting).
-        def loss_fn_target(params, batch_stats, key):
+        def loss_fn_target(params, batch_stats, key, step):
             k_batch, k_loss = jax.random.split(key)
             images01, cond_labels, loss_labels, labels_emb, weights, kappa = self._make_batch(k_batch, fn_y2h)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
             loss, updates = diffusion.weighted_loss(
-                variables, k_loss, images01, loss_labels, labels_emb, weights, train=True,
+                variables, k_loss, images01, loss_labels, labels_emb, weights,
+                train=True, aux_info=_aux(step),
             )
             return loss, updates
 
@@ -269,7 +282,7 @@ class Trainer:
 
             def micro(carry, k):
                 grads_acc, loss_acc, stats = carry
-                (loss, updates), grads = grad_fn(state.params, stats, k)
+                (loss, updates), grads = grad_fn(state.params, stats, k, state.step)
                 new_stats = updates.get("batch_stats", stats)
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 return (grads_acc, loss_acc + loss, new_stats), None
@@ -383,20 +396,26 @@ class Trainer:
 
         variables = ema_variables(self.state) if use_ema else online_variables(self.state)
 
-        cache_key = (sampler, cond_scale, sample_timesteps, ddim_eta, batch_size)
+        # cond_scale is passed into the jitted sampler as a TRACED scalar, so
+        # one compiled function serves every scale (a serving client sweeping
+        # cond_scale must not trigger per-value recompiles). Unit scale keeps
+        # its own compiled variant: it statically skips the 2B CFG forward.
+        unit_scale = float(cond_scale) == 1.0
+        cache_key = (sampler, unit_scale, sample_timesteps, ddim_eta, batch_size)
         if cache_key not in self._sample_fns:
             if sampler == "ddim":
-                fn = lambda v, k, e, y: self.diffusion.ddim_sample(
-                    v, k, e, labels=y, cond_scale=cond_scale,
+                fn = lambda v, k, e, y, cs: self.diffusion.ddim_sample(
+                    v, k, e, labels=y, cond_scale=(1.0 if unit_scale else cs),
                     sampling_timesteps=sample_timesteps, ddim_eta=ddim_eta,
                 )
             else:
-                fn = lambda v, k, e, y: self.diffusion.p_sample_loop(
-                    v, k, e, labels=y, cond_scale=cond_scale,
+                fn = lambda v, k, e, y, cs: self.diffusion.p_sample_loop(
+                    v, k, e, labels=y, cond_scale=(1.0 if unit_scale else cs),
                     sampling_timesteps=sample_timesteps,
                 )
             self._sample_fns[cache_key] = jax.jit(fn)
         sample_fn = self._sample_fns[cache_key]
+        cs_arg = jnp.float32(cond_scale)
 
         out = []
         done = 0
@@ -407,7 +426,7 @@ class Trainer:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
             y = jnp.asarray(chunk)
             emb = fn_y2h(y)
-            imgs = sample_fn(variables, jax.random.fold_in(jax.random.PRNGKey(key_base), done), emb, y)
+            imgs = sample_fn(variables, jax.random.fold_in(jax.random.PRNGKey(key_base), done), emb, y, cs_arg)
             imgs = np.asarray(imgs)[: len(chunk) - pad or None]
             if denorm:
                 imgs = np.asarray(to_uint8(jnp.asarray(imgs)))

@@ -8,6 +8,7 @@ python -m ccdm_tpu.dmd_main \
     --root_path $ROOT_PATH --data_name UTKFace --data_path $DATA_PATH \
     --image_size 64 --min_label 1 --max_label 60 \
     --model_channels 72 --channel_mult 1_2_4_4_8 \
+    --use_Hy --y2h_embed_type resnet --y2cov_embed_type resnet \
     --teacher_milestone 100000 \
     --gan_arch sngan --gene_ch 64 --disc_ch 64 --dim_z 256 \
     --niters 50000 --train_batch_size 128 \

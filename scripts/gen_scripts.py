@@ -66,6 +66,7 @@ python -m ccdm_tpu.dmd_main \\
     --root_path $ROOT_PATH --data_name {data} --data_path $DATA_PATH \\
     --image_size {img} --min_label {minl} --max_label {maxl} \\
     --model_channels {ch} --channel_mult {mult} \\
+    --use_Hy --y2h_embed_type resnet --y2cov_embed_type resnet \\
     --teacher_milestone {teacher} \\
     --gan_arch sngan --gene_ch {gene_ch} --disc_ch 64 --dim_z 256 \\
     --niters {niters} --train_batch_size 128 \\
