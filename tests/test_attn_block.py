@@ -126,12 +126,11 @@ def test_large_n_kernel_interpret_matches_reference(rng, monkeypatch, n, chunk):
                                rtol=2e-3, atol=2e-4)
 
 
-def test_large_n_kernel_unshifted_exp_accurate_below_clamp(rng, monkeypatch):
-    """The large-N path omits the softmax shift (see kernel docstring).
+def test_large_n_kernel_shifted_exp_matches_at_high_k(rng, monkeypatch):
+    """The large-N pass A shifts by the exact XLA-precomputed colmax of k.
     Scaling the QKV WEIGHTS (the input scale is normalized away by the
-    prenorm) drives |k| to ~30 — well past normal operation, below the
-    clamp at 45 — where the unshifted exp must still match the shifted
-    reference."""
+    prenorm) drives |k| to ~30 — well past normal operation — where the
+    shifted kernel must match the reference softmax."""
     import jax.experimental.pallas as pl
 
     orig_call = pl.pallas_call
@@ -157,10 +156,12 @@ def test_large_n_kernel_unshifted_exp_accurate_below_clamp(rng, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
 
 
-def test_large_n_kernel_clamp_prevents_inf_at_extreme_k(rng, monkeypatch):
-    """With |k| ~ 150 (far past the 45 clamp) the unclamped exp would be
-    inf; the kernel must stay finite (graceful degradation during
-    training blow-ups, not NaN losses)."""
+def test_large_n_kernel_exact_softmax_at_extreme_k(rng, monkeypatch):
+    """With |k| ~ 150 the round-2 clamp-at-45 silently deviated from the
+    reference; the exact colmax shift must now MATCH the reference softmax
+    in this blow-up regime (ADVICE round-2 fix). Only W_k is scaled: the
+    q-side keeps its documented global-row-max-shift underflow caveat for
+    intra-row gaps > ~87, which is a separate (inference-benign) regime."""
     import jax.experimental.pallas as pl
 
     orig_call = pl.pallas_call
@@ -173,10 +174,18 @@ def test_large_n_kernel_clamp_prevents_inf_at_extreme_k(rng, monkeypatch):
     heads, dim_head, c, n = 4, 32, 64, 2048
     f = heads * dim_head
     g_pre, wqkv, wout, bout, g_out = _params(rng, c, f)
+    wqkv_hot_k = wqkv.at[:, f:2 * f].mul(40.0)  # |k| ~ 150, q/v normal
     x = jnp.asarray(rng.normal(0, 1, (1, n, c)).astype(np.float32))
-    got = np.asarray(ab._forward_pallas_large(x, g_pre, wqkv * 40, wout, bout,
+    want = np.asarray(ab.attn_block_reference(x, g_pre, wqkv_hot_k, wout, bout,
+                                              g_out, heads, dim_head))
+    got = np.asarray(ab._forward_pallas_large(x, g_pre, wqkv_hot_k, wout, bout,
                                               g_out, heads, dim_head))
     assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
+    # the all-weights blow-up regime must at least stay finite
+    got_all = np.asarray(ab._forward_pallas_large(x, g_pre, wqkv * 40, wout,
+                                                  bout, g_out, heads, dim_head))
+    assert np.isfinite(got_all).all()
 
 
 def test_large_n_kernel_bf16(rng, monkeypatch):
@@ -246,3 +255,56 @@ def test_unet_param_count_unchanged_by_fusion(rng):
                    for p in jax.tree_util.tree_leaves(blocks))
     assert got_attn == total_attn
     assert n_params > total_attn  # sanity: rest of the net present
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_fused_backward_matches_reference_vjp(rng, monkeypatch, dtype):
+    """The round-3 fused two-pass backward (interpret mode) must reproduce
+    jax.vjp of the unfused composition for ALL six gradients."""
+    import jax
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    heads, dim_head, c, n = 4, 32, 64, 4096
+    f = heads * dim_head
+    g_pre, wqkv, wout, bout, g_out = _params(rng, c, f)
+    x = jnp.asarray(rng.normal(0, 1, (2, n, c)).astype(np.float32))
+    dy = jnp.asarray(rng.normal(0, 1, (2, n, c)).astype(np.float32))
+    if dtype == "bfloat16":
+        x, dy = x.astype(jnp.bfloat16), dy.astype(jnp.bfloat16)
+
+    _, a, s, kmax = ab._forward_pallas_large(
+        x, g_pre, wqkv, wout, bout, g_out, heads, dim_head,
+        return_residuals=True)
+    got = ab._backward_pallas_large(x, g_pre, wqkv, wout, bout, g_out, dy,
+                                    a, s, kmax, heads, dim_head)
+
+    # oracle: f32 reference vjp (for bf16 inputs our f32-internal backward
+    # is CLOSER to the true gradient than a bf16 reference vjp, whose own
+    # rounding noise under token-sum cancellation would dominate the diff)
+    _, vjp = jax.vjp(
+        lambda *args: ab.attn_block_reference(*args, heads=heads,
+                                              dim_head=dim_head),
+        x.astype(jnp.float32), g_pre, wqkv, wout, bout, g_out)
+    want = vjp(dy.astype(jnp.float32))
+
+    exact = dtype == "float32"
+    names = ["dx", "d_gpre", "d_wqkv", "d_wout", "d_bout", "d_gout"]
+    for nm, gv, wv in zip(names, got, want):
+        assert gv.shape == wv.shape, nm
+        gv32, wv32 = np.asarray(gv, np.float32), np.asarray(wv, np.float32)
+        if exact:
+            np.testing.assert_allclose(gv32, wv32, rtol=2e-3, atol=2e-3,
+                                       err_msg=nm)
+        else:  # bf16: scale-aware bound (reductions amplify rounding noise)
+            np.testing.assert_allclose(
+                gv32, wv32, rtol=1e-1,
+                atol=0.02 * max(float(np.abs(wv32).max()), 1.0), err_msg=nm)
+    # dtype contract: dx matches x's dtype, weight grads stay f32
+    assert got[0].dtype == x.dtype and got[2].dtype == wqkv.dtype
