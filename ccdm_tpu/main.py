@@ -200,6 +200,7 @@ def main(argv=None):
         cond_scale_visual=args.sample_cond_scale,
         sample_timesteps_visual=min(args.sample_timesteps, 250),
         log_every=args.log_every,
+        tb_log=args.tb_log,
         seed=args.seed,
     )
     # optional elastic aux loss: train-or-load the label regressor

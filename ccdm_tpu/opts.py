@@ -84,6 +84,9 @@ def parse_opts(argv=None):
     parser.add_argument("--save_every", type=int, default=10000)
     parser.add_argument("--log_every", type=int, default=500,
                         help="loss/throughput logging stride (reference logs every 500)")
+    parser.add_argument("--tb_log", action="store_true", default=False,
+                        help="also write TensorBoard event files (ADM-G "
+                             "logger.py TB backend parity)")
 
     # Label embedding
     parser.add_argument("--y2h_embed_type", type=str, default="sinusoidal",

@@ -28,6 +28,18 @@ class KVLogger:
         self._json_path = os.path.join(logdir, "progress.jsonl")
         self._csv_path = os.path.join(logdir, "progress.csv")
         self._start = time.time()
+        self._tb = None
+        self._tb_step = 0
+        if "tb" in formats:
+            # TensorBoard event files (the reference ADM-G logger's fourth
+            # backend, logger.py:137-158) via torch's pure-python writer
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(logdir, "tb"))
+            except ImportError:
+                print(" KVLogger: tensorboard writer unavailable; 'tb' "
+                      "backend disabled")
 
     def logkv(self, key: str, value: float) -> None:
         self._sums[key] += float(value)
@@ -63,6 +75,14 @@ class KVLogger:
                         w.writerow(r)
             with open(self._csv_path, "a", newline="") as f:
                 csv.DictWriter(f, fieldnames=self._csv_keys).writerow(kvs)
+        if self._tb is not None:
+            # x-axis: an explicit 'step' key when present, else dump index
+            step = int(kvs.get("step", self._tb_step))
+            for k, v in kvs.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, step)
+            self._tb.flush()
+            self._tb_step += 1
         self._sums.clear()
         self._counts.clear()
         return kvs

@@ -68,3 +68,34 @@ def test_noisy_classifier_trains_and_guides(tmp_path, rng):
                                    sampling_timesteps=3)
     assert out.shape == (2, IMG, IMG, NC)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_kvlogger_tb_backend(tmp_path):
+    """'tb' format writes TensorBoard event files (ADM-G logger parity)."""
+    import glob
+    import os
+
+    from ccdm_tpu.utils.kvlogger import KVLogger
+
+    lg = KVLogger(str(tmp_path), formats=("json", "tb"))
+    lg.logkv("loss", 1.0)
+    lg.logkv("step", 10)
+    lg.dumpkvs()
+    lg.logkv("loss", 0.5)
+    lg.logkv("step", 20)
+    lg.dumpkvs()
+    events = glob.glob(os.path.join(str(tmp_path), "tb", "events.out.*"))
+    assert events, "no TensorBoard event files written"
+    assert os.path.getsize(events[0]) > 0
+
+
+def test_trainlogger_tb_backend(tmp_path):
+    import glob
+    import os
+
+    from ccdm_tpu.utils.logging import TrainLogger
+
+    lg = TrainLogger(str(tmp_path), 100, tb=True)
+    lg.log_scalars({"step": 1, "loss": 2.0, "mfu_pct": 33.3})
+    events = glob.glob(os.path.join(str(tmp_path), "tb", "events.out.*"))
+    assert events and os.path.getsize(events[0]) > 0
