@@ -72,6 +72,12 @@ def sliding_window_eval(
     if centers is None:
         if num_centers <= 0 and fid_radius == 0:
             centers = np.sort(np.unique(fake_labels))
+        elif num_centers <= 0:
+            # reference default: unit-stepped centers over the raw label
+            # range, [min+R, max-R] (vanilla main.py:529-531) — NOT a single
+            # point (round-3 fix: linspace(max(-1,1)) collapsed to 1 center)
+            centers = np.arange(real_labels.min() + fid_radius,
+                                real_labels.max() - fid_radius + 1)
         else:
             start = real_labels.min() + fid_radius
             stop = real_labels.max() - fid_radius

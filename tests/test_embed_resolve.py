@@ -114,6 +114,7 @@ def test_dmd_main_resnet_end_to_end(tmp_path, monkeypatch):
         "--train_timesteps", "50",
         "--sample_every", "1000000", "--save_every", "1000000",
         "--nfake_per_label", "4", "--samp_batch_size", "4", "--eval_mode", "1",
+        "--interpolation", "--sefa",
     ])
     # the ILI cache must now exist under the (teacher==own) setting folder
     import glob
@@ -121,6 +122,11 @@ def test_dmd_main_resnet_end_to_end(tmp_path, monkeypatch):
     hits = glob.glob(os.path.join(
         str(tmp_path), "output", "synthetic_64", "Setup1", "embed_models", "model-y2h_*"))
     assert hits, "dmd_main did not train/load the resnet ILI embedding"
+    # --interpolation / --sefa artifacts over the one-step generator
+    fig_dir = os.path.join(str(tmp_path), "output", "synthetic_64", "Setup1",
+                           "dmd_results", "analysis")
+    assert os.path.isfile(os.path.join(fig_dir, "interpolation.png"))
+    assert os.path.isfile(os.path.join(fig_dir, "sefa.png"))
 
 
 def test_sampler_cond_scale_no_recompile(tmp_path):
