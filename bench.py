@@ -118,11 +118,12 @@ def main():
     if on_accel:
         head = dict(img=64, nc=3, batch=64, steps=250, dim=64,
                     mults=(1, 2, 2, 4, 8), cond_scale=1.5, n_rep=3)
-        # batch 48 from the measured throughput sweep (16: 1.62, 48: 2.53,
-        # 96: 2.40 img/s/chip) — the reference samples at batch 200
+        # batch 64 from the round-3 throughput sweep with the exact-kmax
+        # fused block (48: 3.12, 64: 3.51, 96: 0.55 img/s/chip — 96 falls
+        # off the VMEM cliff) — the reference samples at batch 200
         # (scripts/UK128/linux/run_ccdm.sh), so large batches are the
         # workload's own regime, not a bench trick
-        uk128 = dict(img=128, nc=3, batch=48, steps=250, dim=64,
+        uk128 = dict(img=128, nc=3, batch=64, steps=250, dim=64,
                      mults=(1, 2, 4, 4, 8, 8), cond_scale=2.0, n_rep=1)
         # UTKFace-192 flagship resolution (scripts/UK192/linux/run_ccdm.sh:
         # mults 1_2_2_4_4_8_8, DDIM-100 in the reference's own sampling
