@@ -102,6 +102,29 @@ def train_resnet_embed(
     return {"params": params, "batch_stats": batch_stats}
 
 
+def mean_feature(resnet_variables: dict, images_u8: np.ndarray,
+                 dim_embed: int, label_dim: int = 1,
+                 batch_size: int = 256, max_n: int = 2048) -> np.ndarray:
+    """Mean stage-1 embedding h over (a subset of) the training images,
+    eval-mode forward. Used to data-inform the stage-2 MLP's output-bias
+    init (see train_label_mlp)."""
+    net = ResNetEmbed(dim_embed=dim_embed, label_dim=label_dim)
+    n = min(len(images_u8), max_n)
+    idx = np.linspace(0, len(images_u8) - 1, n).astype(np.int64)
+
+    @jax.jit
+    def feats(x):
+        _, h = net.apply(resnet_variables, x, train=False)
+        return jnp.sum(h, axis=0)
+
+    total = np.zeros((dim_embed,), np.float64)
+    for s in range(0, n, batch_size):
+        x = normalize_images(jnp.asarray(images_u8[idx[s:s + batch_size]]),
+                             to_neg_one_to_one=True)
+        total += np.asarray(feats(x), np.float64)
+    return (total / n).astype(np.float32)
+
+
 def train_label_mlp(
     unique_labels_norm: np.ndarray,
     resnet_variables: dict,
@@ -115,8 +138,29 @@ def train_label_mlp(
     noise_sigma: float = 0.2,
     seed: int = 1,
     log_every: int = 50,
+    feat_mean: Optional[np.ndarray] = None,
 ) -> dict:
-    """Stage-2: train mlp(y) to invert the frozen h2y head."""
+    """Stage-2: train mlp(y) to invert the frozen h2y head.
+
+    feat_mean (the mean stage-1 embedding, from ``mean_feature``) seeds the
+    MLP's output bias. Without it the cold flax init can land ENTIRELY in
+    the frozen head's dead-ReLU region — relu(h@W+b) == 0 for every label,
+    zero gradients, loss pinned at E[y^2]~=0.33 forever (observed on the
+    Cell-200 fixture). The torch reference (label_embedding.py:1352-1534)
+    has the identical hazard and escapes only by init luck; seeding the
+    output at the feature mean starts the head in its trained operating
+    region, which makes the inversion well-posed by construction.
+
+    The TRAINING loss additionally reconstructs through a leaky-relu(0.01)
+    surrogate of the frozen head: a good init is not sufficient when the
+    head's live region is narrow (observed: an SGD step jumps the iterate
+    into the dead region mid-run and relu's zero gradient traps it there
+    forever — training-threading numerics alone flipped convergent runs to
+    dead ones). Targets are clipped to [0,1], so every fixed point of the
+    surrogate objective coincides with the relu objective's (prediction>0
+    ⇒ leaky==relu; target==0 ⇒ the surrogate's optimum is pre-activation
+    0, where relu also outputs 0). Final liveness is checked — and
+    reported — with the TRUE relu head."""
     labels = np.asarray(unique_labels_norm, np.float32).reshape(-1)
     n = len(labels)
     batch_size = min(batch_size, n)
@@ -124,6 +168,12 @@ def train_label_mlp(
 
     key = jax.random.PRNGKey(seed)
     variables = mlp_module.init(key, jnp.zeros((2,)))
+    if feat_mean is not None:
+        p = dict(variables["params"])
+        out = dict(p["dense_out"])
+        out["bias"] = jnp.asarray(feat_mean, jnp.float32)
+        p["dense_out"] = out
+        variables = {"params": p}
     sched = _lr_schedule(lr_base, lr_decay_epochs, steps_per_epoch)
     tx = optax.chain(
         optax.add_decayed_weights(weight_decay),
@@ -145,7 +195,11 @@ def train_label_mlp(
 
         def loss_fn(p):
             h = mlp_module.apply({"params": p}, y_noised)
-            y_rec = jax.nn.relu(h @ h2y_kernel + h2y_bias)[:, 0]
+            # leaky surrogate of the frozen relu head (same fixed points on
+            # targets >= 0; see docstring) so gradients flow even when the
+            # iterate crosses the dead region
+            y_rec = jax.nn.leaky_relu(h @ h2y_kernel + h2y_bias,
+                                      negative_slope=0.01)[:, 0]
             return jnp.mean((y_rec - y_noised) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -160,6 +214,16 @@ def train_label_mlp(
             params, opt_state, loss = step(params, opt_state, k)
         if log_every and (epoch + 1) % log_every == 0:
             print(f"\r [label_mlp] epoch {epoch+1}/{epochs} loss {float(loss):.6f}")
+
+    # liveness check: a dead frozen-head ReLU reconstructs 0 for EVERY label
+    # (conditioning would silently die downstream — LS ~= 100 on a 1-200
+    # scale); surface it loudly instead
+    h_all = mlp_module.apply({"params": params}, labels_dev)
+    y_rec = jax.nn.relu(h_all @ h2y_kernel + h2y_bias)
+    if float(jnp.max(y_rec)) <= 1e-6:
+        print(" WARNING [label_mlp]: frozen h2y head reconstructs 0 for all "
+              "labels (dead ReLU) — the learned embedding carries no label "
+              "information; pass feat_mean=mean_feature(...) to re-train")
     return {"params": params}
 
 
@@ -248,6 +312,8 @@ class LabelEmbed:
                 uniq[:, 0] if label_dim == 1 else uniq.reshape(-1),
                 resnet_vars, ModelY2H(dim_embed), dim_embed,
                 epochs=epochs_mlp, noise_sigma=noise_sigma, seed=seed + 1,
+                feat_mean=mean_feature(resnet_vars, dataset.images,
+                                       dim_embed, label_dim),
             )
             save_checkpoint(embed_dir, tag, {"mlp": jax.device_get(mlp_vars)})
         mlp = ModelY2H(dim_embed)
@@ -317,6 +383,8 @@ class LabelEmbed:
                         uniq[:, 0] if label_dim == 1 else uniq.reshape(-1),
                         resnet_cov_vars, ModelY2Cov(cov_dim), cov_dim,
                         epochs=epochs_mlp_y2cov, noise_sigma=noise_sigma, seed=seed + 3,
+                        feat_mean=mean_feature(resnet_cov_vars, dataset.images,
+                                               cov_dim, label_dim),
                     )
                     save_checkpoint(embed_dir, tag_cov, {"mlp": jax.device_get(cov_vars)})
                 cov_mlp = ModelY2Cov(cov_dim)

@@ -15,13 +15,21 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+# torch nn.BatchNorm2d(momentum=0.1) == flax momentum 0.9: running stats
+# converge in tens of updates. Flax's 0.99 default leaves a 0.99^n residual
+# of the INIT stats — after a 40-epoch fixture run eval-mode features were
+# still ~1/3 init-biased, collapsing h2y's eval output to ~0 (round 3).
+_BN_MOMENTUM = 0.9
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, name=name)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=_BN_MOMENTUM, name=name)
         h = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False, name="conv1")(x)
         h = nn.relu(bn("bn1")(h))
         h = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(h)
@@ -41,7 +49,8 @@ class ResNetEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, name=name)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=_BN_MOMENTUM, name=name)
         h = nn.Conv(64, (3, 3), padding=1, use_bias=False, name="stem_conv")(x)
         h = nn.relu(bn("stem_bn")(h))
         planes = 64

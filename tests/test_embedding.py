@@ -149,3 +149,88 @@ def test_ili_pipeline_trains_and_reloads(tmp_path):
     np.testing.assert_allclose(
         np.asarray(le2.fn_y2h(jnp.linspace(0.1, 0.9, 4))), np.asarray(e)
     )
+
+
+def test_label_mlp_escapes_dead_relu_with_feat_mean():
+    """Round-3 regression (observed live on the Cell-200 fixture): a frozen
+    h2y head whose operating point sits at large-positive features leaves
+    the cold-initialized MLP entirely in the head's dead-ReLU region —
+    relu(h@W+b)==0 for every label, zero gradients, loss pinned at E[y^2].
+    Seeding the MLP output bias at the stage-1 feature mean
+    (train_label_mlp(feat_mean=...)) must restore a working inversion."""
+    from ccdm_tpu.embedding.ili import train_label_mlp
+
+    dim = 32
+    rng = np.random.default_rng(0)
+    # frozen head fit to features with mean ~8 (post-BN-ReLU scale):
+    # y ~= relu(h @ k + b) with b strongly negative, as stage 1 produces
+    feat_mean = np.full((dim,), 8.0, np.float32)
+    kernel = np.asarray(np.abs(rng.normal(0, 0.05, (dim, 1))) + 0.02,
+                        np.float32)
+    # alive at the feature mean (rec=0.5, as a trained head is), dead at
+    # h~=0 (bias ~ -15): exactly the observed stage-1 geometry
+    bias = (0.5 - feat_mean @ kernel).astype(np.float32)
+    assert bias[0] < -1.0
+    head = {"params": {"h2y": {"kernel": jnp.asarray(kernel),
+                               "bias": jnp.asarray(bias)}}}
+    labels = np.linspace(0.05, 0.95, 50).astype(np.float32)
+
+    def final_rec(mlp_vars):
+        h = ModelY2H(dim).apply(mlp_vars, jnp.asarray(labels))
+        return np.asarray(jax.nn.relu(h @ kernel + bias))[:, 0]
+
+    cold = train_label_mlp(labels, head, ModelY2H(dim), dim, epochs=40,
+                           lr_decay_epochs=(20, 30), log_every=0)
+    warm = train_label_mlp(labels, head, ModelY2H(dim), dim, epochs=40,
+                           lr_decay_epochs=(20, 30), log_every=0,
+                           feat_mean=feat_mean)
+    rec_cold, rec_warm = final_rec(cold), final_rec(warm)
+    # the cold init is dead for this head (documents the failure mode)
+    assert rec_cold.max() <= 1e-6
+    # the data-informed init must keep the frozen head LIVE (nonzero output,
+    # gradients flowing, reconstruction pulled to the label scale); inversion
+    # QUALITY with a real stage-1 head is asserted by the slow-lane
+    # test_ili_roundtrip_quality
+    assert rec_warm.min() > 0.1
+
+
+@pytest.mark.slow
+def test_ili_roundtrip_quality():
+    """End-to-end ILI inversion quality in EVAL mode (the reference's sanity
+    roundtrip, vanilla main.py:245-275): train the real stage-1 ResNet +
+    stage-2 MLP on a brightness-coded fixture, then assert y -> h -> y_hat
+    through the frozen h2y head actually TRACKS y. This is the regression
+    gate for the round-3 BN-momentum fix (flax default 0.99 left running
+    stats ~1/3 init-biased after a fixture-scale run, collapsing eval-mode
+    y_hat to ~0 for every label -> LS pinned at full scale)."""
+    from ccdm_tpu.embedding.ili import (mean_feature, train_label_mlp,
+                                        train_resnet_embed)
+
+    rng = np.random.default_rng(7)
+    n, img, dim = 256, 16, 32
+    labels = rng.choice(np.linspace(0.05, 0.95, 24), size=n).astype(np.float32)
+    images = np.clip(labels[:, None, None, None] * 255
+                     + rng.normal(0, 12, (n, img, img, 3)), 0, 255).astype(np.uint8)
+
+    resnet_vars = train_resnet_embed(images, labels, dim, epochs=15,
+                                     batch_size=64, lr_decay_epochs=(8, 12),
+                                     seed=3, log_every=0)
+    uniq = np.unique(labels)
+    mlp_vars = train_label_mlp(uniq, resnet_vars, ModelY2H(dim), dim,
+                               epochs=120, lr_decay_epochs=(60, 90), seed=4,
+                               log_every=0,
+                               feat_mean=mean_feature(resnet_vars, images, dim))
+
+    h2y_k = resnet_vars["params"]["h2y"]["kernel"]
+    h2y_b = resnet_vars["params"]["h2y"]["bias"]
+    probe = jnp.asarray(np.linspace(0.1, 0.9, 9), jnp.float32)
+    h = ModelY2H(dim).apply(mlp_vars, probe)
+    y_rec = np.asarray(jax.nn.relu(h @ h2y_k + h2y_b))[:, 0]
+
+    # dead-embedding failure mode: y_rec ~= const (spread 0), MAE ~= E[y]
+    spread = float(y_rec.max() - y_rec.min())
+    mae = float(np.mean(np.abs(y_rec - np.asarray(probe))))
+    corr = float(np.corrcoef(np.asarray(probe), y_rec)[0, 1])
+    assert spread > 0.3, f"inversion collapsed: spread={spread:.4f}"
+    assert corr > 0.9, f"y_hat does not track y: corr={corr:.3f}"
+    assert mae < 0.15, f"roundtrip MAE too high: {mae:.3f}"
