@@ -125,6 +125,39 @@ def mean_feature(resnet_variables: dict, images_u8: np.ndarray,
     return (total / n).astype(np.float32)
 
 
+def per_label_mean_features(resnet_variables: dict, images_u8: np.ndarray,
+                            labels_norm: np.ndarray,
+                            unique_labels_norm: np.ndarray, dim_embed: int,
+                            label_dim: int = 1,
+                            batch_size: int = 256) -> np.ndarray:
+    """Per-unique-label mean stage-1 embedding h̄(y), eval-mode forward.
+    [n_unique, dim_embed]; the direct regression target that makes stage-2
+    well-conditioned (see train_label_mlp)."""
+    net = ResNetEmbed(dim_embed=dim_embed, label_dim=label_dim)
+
+    @jax.jit
+    def feats(x):
+        _, h = net.apply(resnet_variables, x, train=False)
+        return h
+
+    labels = np.asarray(labels_norm, np.float32).reshape(len(labels_norm), -1)[:, 0]
+    uniq = np.asarray(unique_labels_norm, np.float32).reshape(-1)
+    total = np.zeros((len(uniq), dim_embed), np.float64)
+    count = np.zeros((len(uniq),), np.float64)
+    pos = {float(u): i for i, u in enumerate(uniq)}
+    for s in range(0, len(images_u8), batch_size):
+        x = normalize_images(jnp.asarray(images_u8[s:s + batch_size]),
+                             to_neg_one_to_one=True)
+        h = np.asarray(feats(x), np.float64)
+        for r, lab in enumerate(labels[s:s + batch_size]):
+            i = pos.get(float(lab))
+            if i is not None:
+                total[i] += h[r]
+                count[i] += 1
+    count = np.maximum(count, 1.0)
+    return (total / count[:, None]).astype(np.float32)
+
+
 def train_label_mlp(
     unique_labels_norm: np.ndarray,
     resnet_variables: dict,
@@ -139,28 +172,35 @@ def train_label_mlp(
     seed: int = 1,
     log_every: int = 50,
     feat_mean: Optional[np.ndarray] = None,
+    feat_targets: Optional[np.ndarray] = None,
 ) -> dict:
     """Stage-2: train mlp(y) to invert the frozen h2y head.
 
-    feat_mean (the mean stage-1 embedding, from ``mean_feature``) seeds the
-    MLP's output bias. Without it the cold flax init can land ENTIRELY in
-    the frozen head's dead-ReLU region — relu(h@W+b) == 0 for every label,
-    zero gradients, loss pinned at E[y^2]~=0.33 forever (observed on the
-    Cell-200 fixture). The torch reference (label_embedding.py:1352-1534)
-    has the identical hazard and escapes only by init luck; seeding the
-    output at the feature mean starts the head in its trained operating
-    region, which makes the inversion well-posed by construction.
+    The inversion objective alone is ILL-CONDITIONED: its gradient reaches
+    the MLP only through the frozen head's kernel, so the per-step progress
+    scales with ‖h2y kernel‖² — with a small-magnitude head and the
+    reference's budget (500 epochs × n_labels/128 steps; ONE step/epoch on
+    Cell-200's 100 train labels) the MLP can stay at the constant-output
+    optimum ŷ≡E[y], loss pinned at Var(y), carrying zero label information
+    (observed live on the Cell-200 fixture). The torch reference
+    (label_embedding.py:1352-1534) shares the hazard and escapes only when
+    the head kernel is large enough.
 
-    The TRAINING loss additionally reconstructs through a leaky-relu(0.01)
-    surrogate of the frozen head: a good init is not sufficient when the
-    head's live region is narrow (observed: an SGD step jumps the iterate
-    into the dead region mid-run and relu's zero gradient traps it there
-    forever — training-threading numerics alone flipped convergent runs to
-    dead ones). Targets are clipped to [0,1], so every fixed point of the
-    surrogate objective coincides with the relu objective's (prediction>0
-    ⇒ leaky==relu; target==0 ⇒ the surrogate's optimum is pre-activation
-    0, where relu also outputs 0). Final liveness is checked — and
-    reported — with the TRUE relu head."""
+    Fix (TPU-native redesign, not in the reference): when ``feat_targets``
+    — the per-unique-label mean stage-1 features h̄(y), from
+    ``per_label_mean_features`` — is provided, the FIRST HALF of the epoch
+    budget regresses mlp(y_noised) onto the piecewise-linear interpolation
+    of h̄ (dense, well-conditioned gradients; its optimum is
+    label-informative by construction since stage-1 features predict y).
+    The second half fine-tunes with the reference's inversion objective,
+    which then starts at a near-solution instead of a saddle.
+
+    Two further hardenings (round 3, kept from the first attempt):
+    ``feat_mean`` seeds the output bias at the stage-1 feature mean so the
+    frozen head starts in its live region, and the inversion loss runs
+    through a leaky-relu(0.01) surrogate of the head (same fixed points on
+    clipped targets ≥ 0) so an excursion into the dead-ReLU region keeps a
+    gradient. Final liveness is checked with the TRUE relu head."""
     labels = np.asarray(unique_labels_norm, np.float32).reshape(-1)
     n = len(labels)
     batch_size = min(batch_size, n)
@@ -185,13 +225,45 @@ def train_label_mlp(
     h2y_kernel = resnet_variables["params"]["h2y"]["kernel"]
     h2y_bias = resnet_variables["params"]["h2y"]["bias"]
 
-    @jax.jit
-    def step(params, opt_state, k):
+    # sorted unique-label grid for piecewise-linear feature interpolation
+    order = np.argsort(labels)
+    grid_dev = jax.device_put(labels[order])
+    targets_dev = (jax.device_put(np.asarray(feat_targets, np.float32)[order])
+                   if feat_targets is not None else None)
+    # the feature phase is OUR addition (no reference convention to match),
+    # so it uses Adam: SGD(0.01) provably stalls on this regression when the
+    # target magnitude is large (measured: loss 8.4 -> 7.9 over 250 epochs
+    # vs 8.4 -> 0.06 under Adam)
+    tx_feat = optax.adam(1e-3)
+    opt_state_feat = tx_feat.init(variables["params"])
+
+    def _noised(k):
         k_idx, k_noise = jax.random.split(k)
         idx = jax.random.randint(k_idx, (batch_size,), 0, n)
         y = labels_dev[idx]
         gamma = jax.random.normal(k_noise, y.shape) * noise_sigma
-        y_noised = jnp.clip(y + gamma, 0.0, 1.0)
+        return y, jnp.clip(y + gamma, 0.0, 1.0)
+
+    @jax.jit
+    def step_feat(params, opt_state, k):
+        _, y_noised = _noised(k)
+        i = jnp.clip(jnp.searchsorted(grid_dev, y_noised), 1, n - 1)
+        y0, y1 = grid_dev[i - 1], grid_dev[i]
+        w = jnp.clip((y_noised - y0) / jnp.maximum(y1 - y0, 1e-8), 0.0, 1.0)
+        t = targets_dev[i - 1] * (1 - w[:, None]) + targets_dev[i] * w[:, None]
+
+        def loss_fn(p):
+            h = mlp_module.apply({"params": p}, y_noised)
+            return jnp.mean((h - t) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx_feat.update(grads, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        return params, opt_state, loss
+
+    @jax.jit
+    def step(params, opt_state, k):
+        _, y_noised = _noised(k)
 
         def loss_fn(p):
             h = mlp_module.apply({"params": p}, y_noised)
@@ -207,13 +279,21 @@ def train_label_mlp(
         params = optax.apply_updates(params, upd)
         return params, opt_state, loss
 
+    feat_epochs = epochs // 2 if feat_targets is not None else 0
     params = variables["params"]
     for epoch in range(epochs):
+        do_feat = epoch < feat_epochs
         for s in range(steps_per_epoch):
             k = jax.random.fold_in(key, epoch * steps_per_epoch + s)
-            params, opt_state, loss = step(params, opt_state, k)
+            if do_feat:
+                params, opt_state_feat, loss = step_feat(
+                    params, opt_state_feat, k)
+            else:
+                params, opt_state, loss = step(params, opt_state, k)
         if log_every and (epoch + 1) % log_every == 0:
-            print(f"\r [label_mlp] epoch {epoch+1}/{epochs} loss {float(loss):.6f}")
+            phase = "feat" if do_feat else "inv"
+            print(f"\r [label_mlp] epoch {epoch+1}/{epochs} "
+                  f"{phase}_loss {float(loss):.6f}")
 
     # liveness check: a dead frozen-head ReLU reconstructs 0 for EVERY label
     # (conditioning would silently die downstream — LS ~= 100 on a 1-200
@@ -308,12 +388,16 @@ class LabelEmbed:
                 dataset.images, labels, dim_embed,
                 epochs=epochs_cnn, batch_size=batch_size, seed=seed,
             )
+            uniq1 = uniq[:, 0] if label_dim == 1 else uniq.reshape(-1)
             mlp_vars = train_label_mlp(
-                uniq[:, 0] if label_dim == 1 else uniq.reshape(-1),
+                uniq1,
                 resnet_vars, ModelY2H(dim_embed), dim_embed,
                 epochs=epochs_mlp, noise_sigma=noise_sigma, seed=seed + 1,
                 feat_mean=mean_feature(resnet_vars, dataset.images,
                                        dim_embed, label_dim),
+                feat_targets=(per_label_mean_features(
+                    resnet_vars, dataset.images, labels, uniq1, dim_embed,
+                    label_dim) if label_dim == 1 else None),
             )
             save_checkpoint(embed_dir, tag, {"mlp": jax.device_get(mlp_vars)})
         mlp = ModelY2H(dim_embed)
@@ -379,12 +463,16 @@ class LabelEmbed:
                         dataset.images, labels, cov_dim,
                         epochs=epochs_cnn_y2cov, batch_size=batch_size, seed=seed + 2,
                     )
+                    uniq1c = uniq[:, 0] if label_dim == 1 else uniq.reshape(-1)
                     cov_vars = train_label_mlp(
-                        uniq[:, 0] if label_dim == 1 else uniq.reshape(-1),
+                        uniq1c,
                         resnet_cov_vars, ModelY2Cov(cov_dim), cov_dim,
                         epochs=epochs_mlp_y2cov, noise_sigma=noise_sigma, seed=seed + 3,
                         feat_mean=mean_feature(resnet_cov_vars, dataset.images,
                                                cov_dim, label_dim),
+                        feat_targets=(per_label_mean_features(
+                            resnet_cov_vars, dataset.images, labels, uniq1c,
+                            cov_dim, label_dim) if label_dim == 1 else None),
                     )
                     save_checkpoint(embed_dir, tag_cov, {"mlp": jax.device_get(cov_vars)})
                 cov_mlp = ModelY2Cov(cov_dim)

@@ -203,8 +203,8 @@ def test_ili_roundtrip_quality():
     gate for the round-3 BN-momentum fix (flax default 0.99 left running
     stats ~1/3 init-biased after a fixture-scale run, collapsing eval-mode
     y_hat to ~0 for every label -> LS pinned at full scale)."""
-    from ccdm_tpu.embedding.ili import (mean_feature, train_label_mlp,
-                                        train_resnet_embed)
+    from ccdm_tpu.embedding.ili import (mean_feature, per_label_mean_features,
+                                        train_label_mlp, train_resnet_embed)
 
     rng = np.random.default_rng(7)
     n, img, dim = 256, 16, 32
@@ -219,7 +219,9 @@ def test_ili_roundtrip_quality():
     mlp_vars = train_label_mlp(uniq, resnet_vars, ModelY2H(dim), dim,
                                epochs=120, lr_decay_epochs=(60, 90), seed=4,
                                log_every=0,
-                               feat_mean=mean_feature(resnet_vars, images, dim))
+                               feat_mean=mean_feature(resnet_vars, images, dim),
+                               feat_targets=per_label_mean_features(
+                                   resnet_vars, images, labels, uniq, dim))
 
     h2y_k = resnet_vars["params"]["h2y"]["kernel"]
     h2y_b = resnet_vars["params"]["h2y"]["bias"]
@@ -234,3 +236,44 @@ def test_ili_roundtrip_quality():
     assert spread > 0.3, f"inversion collapsed: spread={spread:.4f}"
     assert corr > 0.9, f"y_hat does not track y: corr={corr:.3f}"
     assert mae < 0.15, f"roundtrip MAE too high: {mae:.3f}"
+
+
+def test_label_mlp_feature_phase_rescues_small_kernel_head():
+    """Round-3 regression #2 (observed live on the Cell-200 fixture run):
+    with a SMALL-magnitude frozen head kernel the inversion objective's
+    gradient (which reaches the MLP only through that kernel) is too weak
+    for the reference's SGD budget — the MLP stays at the constant-output
+    optimum y_hat ~= E[y], loss pinned at Var(y), zero label information
+    even though the head is LIVE (so the dead-ReLU guard cannot fire).
+    The feature-matching first phase (train_label_mlp(feat_targets=...))
+    must restore a label-tracking inversion."""
+    from ccdm_tpu.embedding.ili import train_label_mlp
+
+    dim = 32
+    rng = np.random.default_rng(0)
+    feat_mean = np.full((dim,), 8.0, np.float32)
+    kernel = np.asarray(rng.normal(0, 0.004, (dim, 1)), np.float32)
+    bias = (0.5 - feat_mean @ kernel).astype(np.float32)
+    head = {"params": {"h2y": {"kernel": jnp.asarray(kernel),
+                               "bias": jnp.asarray(bias)}}}
+    labels = np.linspace(0.05, 0.95, 50).astype(np.float32)
+    # per-label features consistent with the head: h(y) = mean + dir*(y-1/2)
+    # with dir the least-norm direction the head decodes back to y
+    dirv = kernel[:, 0] / (kernel[:, 0] @ kernel[:, 0])
+    feat_targets = feat_mean[None] + (labels - 0.5)[:, None] * dirv[None]
+
+    def rec(v):
+        h = ModelY2H(dim).apply(v, jnp.asarray(labels))
+        return np.asarray(jax.nn.relu(h @ kernel + bias))[:, 0]
+
+    inv_only = train_label_mlp(labels, head, ModelY2H(dim), dim, epochs=500,
+                               log_every=0, feat_mean=feat_mean)
+    with_feat = train_label_mlp(labels, head, ModelY2H(dim), dim, epochs=500,
+                                log_every=0, feat_mean=feat_mean,
+                                feat_targets=feat_targets)
+    r_inv, r_feat = rec(inv_only), rec(with_feat)
+    # inversion-only collapses to ~constant (documents the failure mode)
+    assert float(r_inv.max() - r_inv.min()) < 0.05
+    # the feature phase restores a label-tracking embedding
+    assert float(r_feat.max() - r_feat.min()) > 0.3
+    assert float(np.corrcoef(labels, r_feat)[0, 1]) > 0.9
