@@ -478,6 +478,14 @@ class LabelEmbed:
                 cov_mlp = ModelY2Cov(cov_dim)
                 cov_params = jax.device_put(cov_vars)
                 self.fn_y2cov = lambda y: cov_mlp.apply(cov_params, jnp.asarray(y, jnp.float32).reshape(-1))
+                # label-variation diagnostic (the y2h sanity roundtrip does
+                # not cover y2cov): a constant-in-y cov embedding makes Hy
+                # label-independent — legal but worth surfacing
+                probe_cov = self.fn_y2cov(jnp.asarray([0.1, 0.9]))
+                rel = (float(jnp.linalg.norm(probe_cov[0] - probe_cov[1]))
+                       / max(float(jnp.linalg.norm(probe_cov[0])), 1e-8))
+                print(f" ILI y2cov label variation |c(0.1)-c(0.9)|/|c(0.1)| = {rel:.4f}"
+                      + ("  (WARNING: ~constant in y)" if rel < 1e-3 else ""))
             else:
                 from ccdm_tpu.embedding.analytic import make_fn_y2cov
                 self.fn_y2cov = make_fn_y2cov(cov_dim, y2cov_type, label_dim)
