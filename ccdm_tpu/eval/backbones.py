@@ -96,7 +96,8 @@ class ResNetEval(nn.Module):
     num_blocks: Sequence[int] = (3, 4, 6, 3)
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False):
+    def __call__(self, x: jax.Array, train: bool = False, *,
+                 leaky_head: bool = False):
         bn = lambda n: nn.BatchNorm(use_running_average=not train, name=n)
         h = nn.Conv(64, (3, 3), padding=1, use_bias=False, name="stem_conv")(x)
         h = nn.relu(bn("stem_bn")(h))
@@ -108,5 +109,11 @@ class ResNetEval(nn.Module):
         feat = jnp.mean(h, axis=(1, 2))
         out = nn.Dense(self.num_outputs, name="head")(feat)
         if self.mode == "regre":
-            out = nn.relu(out)
+            # leaky_head: TRAINING-only surrogate — with targets in [0,1]
+            # every fixed point of the leaky objective coincides with the
+            # relu objective's, but a head driven negative keeps a gradient
+            # instead of dying (observed live: relu+MSE+SGD pinned the LS
+            # eval net at predict-0, loss E[y^2]~=0.33). Inference uses relu.
+            out = (jax.nn.leaky_relu(out, negative_slope=0.01) if leaky_head
+                   else nn.relu(out))
         return out, feat

@@ -71,12 +71,9 @@ def cal_FID(apply_fn: Callable, variables: dict, images_real: np.ndarray,
     return frechet_distance(Xr, Xg, eps=1e-6)
 
 
-def cal_labelscore(apply_fn: Callable, variables: dict, images: np.ndarray,
-                   labels_assigned: np.ndarray, min_label_before_shift: float,
-                   max_label_after_shift: float, batch_size: int = 200,
-                   norm_img: bool = True) -> Tuple[float, float]:
-    """Mean/std |y_pred - y_assigned| after denormalization
-    (eval_metrics.py:157-207). labels_assigned are NORMALIZED."""
+def predict_labels(apply_fn: Callable, variables: dict, images: np.ndarray,
+                   batch_size: int = 200, norm_img: bool = True) -> np.ndarray:
+    """Per-image NORMALIZED label predictions of a regre eval net [N]."""
 
     @jax.jit
     def fn(x):
@@ -86,10 +83,27 @@ def cal_labelscore(apply_fn: Callable, variables: dict, images: np.ndarray,
         pred = out[0] if isinstance(out, tuple) else out
         return pred.reshape(-1)
 
-    preds = _batched_apply(fn, images, batch_size).reshape(-1)
+    return _batched_apply(fn, images, batch_size).reshape(-1)
+
+
+def labelscore_from_preds(preds: np.ndarray, labels_assigned: np.ndarray,
+                          min_label_before_shift: float,
+                          max_label_after_shift: float) -> Tuple[float, float]:
     denorm = lambda y: y * max_label_after_shift - abs(min_label_before_shift)
-    err = np.abs(denorm(preds) - denorm(np.asarray(labels_assigned).reshape(-1)))
+    err = np.abs(denorm(np.asarray(preds).reshape(-1))
+                 - denorm(np.asarray(labels_assigned).reshape(-1)))
     return float(err.mean()), float(err.std())
+
+
+def cal_labelscore(apply_fn: Callable, variables: dict, images: np.ndarray,
+                   labels_assigned: np.ndarray, min_label_before_shift: float,
+                   max_label_after_shift: float, batch_size: int = 200,
+                   norm_img: bool = True) -> Tuple[float, float]:
+    """Mean/std |y_pred - y_assigned| after denormalization
+    (eval_metrics.py:157-207). labels_assigned are NORMALIZED."""
+    preds = predict_labels(apply_fn, variables, images, batch_size, norm_img)
+    return labelscore_from_preds(preds, labels_assigned,
+                                 min_label_before_shift, max_label_after_shift)
 
 
 def predict_class_labels(apply_fn: Callable, variables: dict, images: np.ndarray,

@@ -16,10 +16,12 @@ from typing import Callable, Optional
 import numpy as np
 
 from ccdm_tpu.eval.metrics import (
-    cal_FID,
-    cal_labelscore,
     compute_entropy,
+    extract_features,
+    frechet_distance,
+    labelscore_from_preds,
     predict_class_labels,
+    predict_labels,
 )
 
 
@@ -65,9 +67,27 @@ def sliding_window_eval(
     min_label_before_shift: float = 0.0,
     batch_size: int = 200,
     verbose: bool = True,
+    feats_real: Optional[np.ndarray] = None,
+    feats_fake: Optional[np.ndarray] = None,
 ) -> SlidingWindowResult:
     real_labels = np.asarray(real_labels).reshape(-1)
     fake_labels = np.asarray(fake_labels).reshape(-1)
+
+    # ONE full-set device pass per net, then every center is pure host-side
+    # slicing + Frechet math. (The first cut called cal_FID/cal_labelscore/
+    # predict_class_labels per center — each defines a fresh jit, so every
+    # center paid 3 recompiles through the TPU relay: ~1 min/center × the
+    # reference's unit-stepped centers. Measured live, hence this design.)
+    if feats_real is None:
+        feats_real = extract_features(fid_apply, fid_variables, real_images,
+                                      batch_size)
+    if feats_fake is None:
+        feats_fake = extract_features(fid_apply, fid_variables, fake_images,
+                                      batch_size)
+    ls_preds = predict_labels(ls_apply, ls_variables, fake_images, batch_size)
+    class_preds = (predict_class_labels(div_apply, div_variables, fake_images,
+                                        batch_size)
+                   if div_apply is not None else None)
 
     if centers is None:
         if num_centers <= 0 and fid_radius == 0:
@@ -96,17 +116,14 @@ def sliding_window_eval(
         n_real[i] = len(idx_r)
         if len(idx_r) < 2 or len(idx_f) < 2:
             continue
-        fids[i] = cal_FID(fid_apply, fid_variables, real_images[idx_r],
-                          fake_images[idx_f], batch_size)
-        lss[i], _ = cal_labelscore(
-            ls_apply, ls_variables, fake_images[idx_f],
-            fn_norm_labels(fake_labels[idx_f]),
-            min_label_before_shift, max_label_after_shift, batch_size,
+        fids[i] = frechet_distance(feats_real[idx_r], feats_fake[idx_f],
+                                   eps=1e-6)  # cal_FID's eps
+        lss[i], _ = labelscore_from_preds(
+            ls_preds[idx_f], fn_norm_labels(fake_labels[idx_f]),
+            min_label_before_shift, max_label_after_shift,
         )
-        if div_apply is not None:
-            pred = predict_class_labels(div_apply, div_variables,
-                                        fake_images[idx_f], batch_size)
-            ents[i] = compute_entropy(pred)
+        if class_preds is not None:
+            ents[i] = compute_entropy(class_preds[idx_f])
         if verbose:
             print(f"\r Center:{center}; Real:{len(idx_r)}; Fake:{len(idx_f)}; "
                   f"FID:{fids[i]:.3f}; LS:{lss[i]:.3f}; ET:{ents[i]:.3f}.")

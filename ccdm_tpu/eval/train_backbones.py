@@ -86,6 +86,16 @@ def train_eval_resnet(
     key = jax.random.PRNGKey(seed)
     x0 = jnp.zeros((2,) + images_u8.shape[1:], jnp.float32)
     variables = net.init(key, x0, train=False)
+    if mode == "regre":
+        # start the relu head LIVE at the target mean: a zero-bias init can
+        # drive every pre-activation negative within the first SGD steps and
+        # relu's zero gradient pins the net at predict-0 forever
+        p = dict(variables["params"])
+        head = dict(p["head"])
+        head["bias"] = head["bias"] + jnp.float32(
+            np.mean(np.asarray(targets, np.float32)))
+        p["head"] = head
+        variables = {"params": p, "batch_stats": variables["batch_stats"]}
     sched = optax.piecewise_constant_schedule(lr, {int(steps * 0.5): 0.1, int(steps * 0.75): 0.1})
     tx = optax.chain(optax.add_decayed_weights(1e-4), optax.sgd(sched, momentum=0.9))
     imgs = jax.device_put(np.asarray(images_u8))
@@ -102,7 +112,8 @@ def train_eval_resnet(
 
         def loss_fn(p):
             (out, _), upd = net.apply({"params": p, "batch_stats": stats}, x,
-                                      train=True, mutable=["batch_stats"])
+                                      train=True, mutable=["batch_stats"],
+                                      leaky_head=(mode == "regre"))
             if mode == "class":
                 loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(out, y))
             else:

@@ -444,14 +444,19 @@ def main(argv=None):
             fid_radius=args.FID_radius, num_centers=args.FID_num_centers,
             max_label_after_shift=float(args.max_label + abs(min(args.min_label, 0.0))),
             min_label_before_shift=float(min(args.min_label, 0.0)),
+            feats_real=fid_features("real", real_images),
+            feats_fake=fid_features("fake", fakes),
         )
         res.save_npz(os.path.join(
             setting_folder, f"fid_ls_entropy_over_centers_sampstep{args.sample_timesteps}"
         ))
-        rng_sh = np.random.default_rng(args.seed)
-        fid_all = cal_FID(fid_net.apply, fid_v,
-                          real_images[rng_sh.permutation(len(real_images))],
-                          fakes[rng_sh.permutation(len(fakes))])
+        from ccdm_tpu.eval.metrics import frechet_distance
+
+        # full-set FID/LS from the SAME cached features/predictions the
+        # sliding window used (FID is permutation-invariant, so the
+        # reference's pre-shuffle is a no-op on full sets)
+        fid_all = frechet_distance(fid_features("real", real_images),
+                                   fid_features("fake", fakes), eps=1e-6)
         ls_all, ls_std = cal_labelscore(
             ls_net.apply, ls_v, fakes, bundle.fn_normalize(flabels),
             float(min(args.min_label, 0.0)),
