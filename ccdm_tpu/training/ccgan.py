@@ -352,10 +352,18 @@ class CcGANTrainer:
         if self.state["g_stats"]:
             gvars["batch_stats"] = self.state["g_stats"]
 
-        @jax.jit
-        def gen(key, y):
-            z = jax.random.normal(key, (batch_size, cfg.dim_gan))
-            return self.netG.apply(gvars, z, self.fn_y2h(y), train=False)
+        # compiled generator cached per batch_size, variables traced as an
+        # argument — an inline jit would recompile on every per-label call
+        # (same defect class as DMD sample_given_labels; fixed round 3)
+        cached = getattr(self, "_gen_jit", None)
+        if cached is None or cached[0] != batch_size:
+            @jax.jit
+            def gen(gv, key, y):
+                z = jax.random.normal(key, (batch_size, cfg.dim_gan))
+                return self.netG.apply(gv, z, self.fn_y2h(y), train=False)
+
+            self._gen_jit = cached = (batch_size, gen)
+        gen = cached[1]
 
         out, done = [], 0
         while done < n:
@@ -363,7 +371,9 @@ class CcGANTrainer:
             pad = batch_size - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
-            imgs = np.asarray(gen(jax.random.fold_in(jax.random.PRNGKey(9), done), jnp.asarray(chunk)))
+            imgs = np.asarray(gen(gvars,
+                                  jax.random.fold_in(jax.random.PRNGKey(9), done),
+                                  jnp.asarray(chunk)))
             if pad:
                 imgs = imgs[:-pad]
             if denorm:

@@ -392,11 +392,20 @@ class DMD2Trainer:
         if self.state["gen_stats"]:
             gvars["batch_stats"] = self.state["gen_stats"]
 
-        @jax.jit
-        def gen(key, y):
-            z = jax.random.normal(key, (batch_size, cfg.z_dim))
-            x = self.netG.apply(gvars, z, self.fn_y2h(y), train=False)
-            return (x + 1.0) * 0.5  # [-1,1] -> [0,1]
+        # the compiled generator is cached per batch_size with the variables
+        # passed as a traced argument — a jit built inside this function
+        # would recompile on EVERY call (measured: ~45 s/label through the
+        # TPU relay over the reference's per-label sampling loop)
+        cached = getattr(self, "_gen_jit", None)
+        if cached is None or cached[0] != batch_size:
+            @jax.jit
+            def gen(gv, key, y):
+                z = jax.random.normal(key, (batch_size, cfg.z_dim))
+                x = self.netG.apply(gv, z, self.fn_y2h(y), train=False)
+                return (x + 1.0) * 0.5  # [-1,1] -> [0,1]
+
+            self._gen_jit = cached = (batch_size, gen)
+        gen = cached[1]
 
         out, done = [], 0
         while done < n:
@@ -404,7 +413,9 @@ class DMD2Trainer:
             pad = batch_size - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
-            imgs = np.asarray(gen(jax.random.fold_in(jax.random.PRNGKey(7), done), jnp.asarray(chunk)))
+            imgs = np.asarray(gen(gvars,
+                                  jax.random.fold_in(jax.random.PRNGKey(7), done),
+                                  jnp.asarray(chunk)))
             if pad:
                 imgs = imgs[:-pad]
             if denorm:
