@@ -258,6 +258,37 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+class _UpsampleConv(nn.Module):
+    """conv3x3-over-nearest-2x with nn.Conv's parameter tree ({kernel,bias},
+    so checkpoints are interchangeable with the materialized composition).
+
+    Default: the reference composition — in-graph XLA fuses the nearest-2x
+    broadcast into the conv input, so it is already traffic-optimal there.
+    CCDM_TPU_UPSAMPLE=conv3|conv2x3 opts in the exact tap-fold rewrite
+    (`ops/upsample_fold.py`), which wins only where the producer can't be
+    fused into the conv (measured A/B: PROFILE.md §8)."""
+
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ccdm_tpu.ops import upsample_fold
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.dim_out))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim_out,))
+        x = x.astype(self.dtype)
+        variant = upsample_fold.UPSAMPLE_VARIANT
+        # opt-in fold gated on source size: below 32^2 even the standalone
+        # win disappears into dispatch noise (PROFILE.md §8)
+        small = x.shape[1] * x.shape[2] < 32 * 32
+        if (variant == "reference" or small
+                or jax.default_backend() != "tpu"):
+            return upsample_fold.upsample_conv3x3_reference(x, kernel, bias)
+        return upsample_fold.upsample_conv3x3_folded(x, kernel, bias, variant)
+
+
 class Upsample(nn.Module):
     """nearest 2x + conv3x3 (`models/unet.py:74-78`)."""
 
@@ -266,7 +297,7 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Conv(self.dim_out, (3, 3), padding=1, name="conv", dtype=self.dtype)(upsample_nearest_2x(x))
+        return _UpsampleConv(self.dim_out, dtype=self.dtype, name="conv")(x)
 
 
 class Downsample(nn.Module):

@@ -166,47 +166,72 @@ def _kernel_ctx_large(x_ref, gp_ref, wkv_ref, kmax_ref, a_ref, s_ref, *, f: int)
         a_ref[0] = jnp.zeros_like(a_ref[0])
         s_ref[0] = jnp.zeros_like(s_ref[0])
 
-    x = x_ref[0]
-    mxu = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
-    xf = x.astype(jnp.float32)
-    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + 1e-12)
-    xn = xf * inv * gp_ref[:].astype(jnp.float32)
-    kv = jax.lax.dot_general(
-        xn.astype(mxu), wkv_ref[:].astype(mxu), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [CH, 2F]
-    e = jnp.exp(kv[:, :f] - kmax_ref[0])
-    s_ref[0] += jnp.sum(e, axis=0, keepdims=True)
-    a_ref[0] += jax.lax.dot_general(
-        e.astype(mxu), kv[:, f:].astype(mxu), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    mxu = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    gp = gp_ref[:].astype(jnp.float32)
+    wkv = wkv_ref[:].astype(mxu)
+    kmax = kmax_ref[0]
+    # 4-way sub-chunk software pipeline (as in linear_attention.py's
+    # _kernel_ctx_twopass): the per-part norm->matmul->exp->dot chains are
+    # independent, so the VLIW scheduler overlaps part i's MXU dot with
+    # part i+1's VPU exp — one chain per chunk serializes VPU and MXU and
+    # was the dominant per-chunk cost at the 128^2 L0 shape (PROFILE.md §8)
+    ch = x_ref.shape[1]
+    parts = 4 if ch % 4 == 0 else 1
+    sub = ch // parts
+    s_parts, a_parts = [], []
+    for p in range(parts):
+        xf = x_ref[0, p * sub:(p + 1) * sub, :].astype(jnp.float32)
+        inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + 1e-12)
+        xn = xf * inv * gp
+        kv = jax.lax.dot_general(
+            xn.astype(mxu), wkv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [SUB, 2F]
+        e = jnp.exp(kv[:, :f] - kmax)
+        s_parts.append(jnp.sum(e, axis=0, keepdims=True))
+        a_parts.append(jax.lax.dot_general(
+            e.astype(mxu), kv[:, f:].astype(mxu), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    s_ref[0] += sum(s_parts)
+    a_ref[0] += sum(a_parts)
 
 
 def _kernel_out_large(x_ref, gp_ref, wq_ref, ctx_ref, bd_ref, wout_ref,
                       bout_ref, go_ref, y_ref, *, dim_head: int):
     """Large-N pass B: per x-chunk, prenorm -> q projection -> per-head
     softmax -> @ctx -> out projection -> out norm -> + residual."""
-    x = x_ref[0]
-    mxu = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
-    xf = x.astype(jnp.float32)
-    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + 1e-12)
-    xn = xf * inv * gp_ref[:].astype(jnp.float32)
-    q = jax.lax.dot_general(
-        xn.astype(mxu), wq_ref[:].astype(mxu), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [CH, F]
+    mxu = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    gp = gp_ref[:].astype(jnp.float32)
+    wq = wq_ref[:].astype(mxu)
     bd = bd_ref[:].astype(mxu)
-    eq = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-    gsum = jax.lax.dot_general(eq.astype(mxu), bd, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    qs = eq / jnp.maximum(gsum, 1e-30) * jax.lax.rsqrt(jnp.float32(dim_head))
-    out = jax.lax.dot_general(qs.astype(mxu), ctx_ref[0],
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    o = jax.lax.dot_general(out.astype(mxu), wout_ref[:].astype(mxu),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    o = o + bout_ref[:].astype(jnp.float32)
-    inv2 = jax.lax.rsqrt(jnp.mean(o * o, axis=-1, keepdims=True) + 1e-12)
-    y_ref[0] = (xf + o * inv2 * go_ref[:].astype(jnp.float32)).astype(y_ref.dtype)
+    wout = wout_ref[:].astype(mxu)
+    bout = bout_ref[:].astype(jnp.float32)
+    go = go_ref[:].astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.float32(dim_head))
+    # 4-way sub-chunk pipeline (independent row blocks — see _kernel_ctx_large)
+    ch = x_ref.shape[1]
+    parts = 4 if ch % 4 == 0 else 1
+    sub = ch // parts
+    for p in range(parts):
+        xf = x_ref[0, p * sub:(p + 1) * sub, :].astype(jnp.float32)
+        inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + 1e-12)
+        xn = xf * inv * gp
+        q = jax.lax.dot_general(
+            xn.astype(mxu), wq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [SUB, F]
+        eq = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
+        gsum = jax.lax.dot_general(eq.astype(mxu), bd, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        qs = eq / jnp.maximum(gsum, 1e-30) * scale
+        out = jax.lax.dot_general(qs.astype(mxu), ctx_ref[0],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o = jax.lax.dot_general(out.astype(mxu), wout,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o = o + bout
+        inv2 = jax.lax.rsqrt(jnp.mean(o * o, axis=-1, keepdims=True) + 1e-12)
+        y_ref[0, p * sub:(p + 1) * sub, :] = (
+            xf + o * inv2 * go).astype(y_ref.dtype)
 
 
 def _forward_pallas_large(x2d, g_pre, wqkv, wout, bout, g_out, heads,
