@@ -147,16 +147,32 @@ def _kth_nn_radius(feats: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def compute_prdc(real_features: np.ndarray, fake_features: np.ndarray,
-                 nearest_k: int = 5) -> dict:
+                 nearest_k: int = 5, match_n: bool = False,
+                 seed: int = 0) -> dict:
     """Precision / Recall / Density / Coverage (Naeem et al. 2020).
 
     Numerical semantics of `StudioGAN/metrics/prdc.py:128-168`, re-designed
     as one jitted pairwise computation (the reference shells out to sklearn
     with n_jobs=8); suitable for the per-window set sizes of the SFID
     protocol (thousands of samples).
+
+    match_n subsamples the larger set to the smaller one (seeded) before
+    computing. The k-NN radii shrink ~ N^(-1/d) with set density, so recall
+    computed with 4x more fakes than reals is biased low against a fixed
+    real manifold (and precision vice versa); Naeem et al.'s protocol and
+    StudioGAN's worker both evaluate at equal sample counts.
     """
-    xr = jnp.asarray(np.asarray(real_features, np.float32))
-    xg = jnp.asarray(np.asarray(fake_features, np.float32))
+    real_features = np.asarray(real_features, np.float32)
+    fake_features = np.asarray(fake_features, np.float32)
+    if match_n and len(real_features) != len(fake_features):
+        n = min(len(real_features), len(fake_features))
+        rs = np.random.RandomState(seed)
+        if len(real_features) > n:
+            real_features = real_features[rs.choice(len(real_features), n, replace=False)]
+        if len(fake_features) > n:
+            fake_features = fake_features[rs.choice(len(fake_features), n, replace=False)]
+    xr = jnp.asarray(real_features)
+    xg = jnp.asarray(fake_features)
 
     @jax.jit
     def _prdc(xr, xg):

@@ -463,12 +463,23 @@ def main(argv=None):
             float(args.max_label + abs(min(args.min_label, 0.0))),
         )
         prdc = None
+        prdc_ctrl = None
         if args.comp_prdc:
             # PRDC over the same feature net as FID (StudioGAN worker parity,
-            # metrics/prdc.py:128-168)
-            prdc = compute_prdc(fid_features("real", real_images),
-                                fid_features("fake", fakes),
-                                nearest_k=args.prdc_nearest_k)
+            # metrics/prdc.py:128-168), at EQUAL set sizes (k-NN radii scale
+            # with set density, so 4x more fakes than reals biases recall
+            # toward 0 mechanically; Naeem et al. evaluate at equal N)
+            fr = fid_features("real", real_images)
+            prdc = compute_prdc(fr, fid_features("fake", fakes),
+                                nearest_k=args.prdc_nearest_k,
+                                match_n=True, seed=args.seed)
+            # real-vs-real control: the metric's own ceiling in this feature
+            # space (split-half); recall/precision of a perfect generator
+            half = len(fr) // 2
+            rs = np.random.RandomState(args.seed)
+            perm = rs.permutation(len(fr))
+            prdc_ctrl = compute_prdc(fr[perm[:half]], fr[perm[half:2 * half]],
+                                     nearest_k=args.prdc_nearest_k)
 
         ifid = None
         if args.comp_intra_fid:
@@ -502,9 +513,13 @@ def main(argv=None):
             f.write(f"\n Diversity: {div_m:.3f} ({div_s:.3f}).")
             f.write(f"\n FID: {fid_all:.3f}.")
             if prdc is not None:
-                f.write(f"\n PRDC (k={args.prdc_nearest_k}): "
+                f.write(f"\n PRDC (k={args.prdc_nearest_k}, equal-N): "
                         f"precision {prdc['precision']:.3f}, recall {prdc['recall']:.3f}, "
                         f"density {prdc['density']:.3f}, coverage {prdc['coverage']:.3f}.")
+            if prdc_ctrl is not None:
+                f.write(f"\n PRDC real-vs-real control (split-half): "
+                        f"precision {prdc_ctrl['precision']:.3f}, recall {prdc_ctrl['recall']:.3f}, "
+                        f"density {prdc_ctrl['density']:.3f}, coverage {prdc_ctrl['coverage']:.3f}.")
             if ifid is not None:
                 f.write(f"\n Intra-class FID: {ifid[0]:.3f} ({ifid[1]:.3f}).")
         print(f"\n SFID: {sfid_m:.3f}({sfid_s:.3f})  LS: {ls_all:.3f}  "

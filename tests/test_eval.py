@@ -114,6 +114,25 @@ def test_prdc_disjoint_sets(rng):
     assert out["coverage"] == pytest.approx(0.0)
 
 
+def test_prdc_match_n_removes_set_size_bias(rng):
+    """match_n=True evaluates at equal set sizes (the protocol of Naeem et
+    al. / StudioGAN's worker): unequal sizes shift the k-NN ball geometry
+    (more fakes -> more, smaller balls -> recall drifts up; vice versa for
+    precision), so matched numbers are the comparable ones. Assert the
+    matched result lands at the equal-N same-distribution control and that
+    the subsample is seeded-deterministic."""
+    Xr = rng.normal(0, 1, (200, 2)).astype(np.float32)
+    Xg = rng.normal(0, 1, (3200, 2)).astype(np.float32)
+    matched = compute_prdc(Xr, Xg, nearest_k=5, match_n=True, seed=0)
+    ctrl = compute_prdc(Xr, rng.normal(0, 1, (200, 2)).astype(np.float32),
+                        nearest_k=5)
+    for key in ("precision", "recall", "coverage"):
+        assert matched[key] == pytest.approx(ctrl[key], abs=0.15), key
+    # subsampling is seeded-deterministic, and the sets really were reduced
+    again = compute_prdc(Xr, Xg, nearest_k=5, match_n=True, seed=0)
+    assert again == matched
+
+
 def test_prdc_matches_numpy_oracle(rng):
     """Bitwise semantics vs a numpy transcription of StudioGAN
     prdc.py:128-168 (kth-NN radii excluding self, strict <)."""
