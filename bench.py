@@ -105,6 +105,35 @@ def bench_train(jax, jnp, *, img, nc, batch, dim, mults, n_steps):
     return batch / dt
 
 
+def bench_dmd_onestep(jax, jnp, *, img, nc, batch, gene_ch, n_rep):
+    """DMD2-M one-step student sampling: netG(z, y2h(y)) (ref dmd.py:900-940).
+
+    This is the distillation method's whole point — one generator forward
+    replaces 250 two-pass UNet steps — so its throughput belongs next to the
+    teacher's in the bench record."""
+    from ccdm_tpu.embedding import make_fn_y2h
+    from ccdm_tpu.models.sngan import SNGANGenerator
+
+    netG = SNGANGenerator(nc=nc, img_size=img, gene_ch=gene_ch)
+    key = jax.random.PRNGKey(0)
+    gvars = netG.init(key, jnp.zeros((2, 128)), jnp.zeros((2, 128)),
+                      train=False)
+    emb = make_fn_y2h(128)(jnp.linspace(0.1, 0.9, batch))
+
+    def one_step(v, k, e):
+        z = jax.random.normal(k, (e.shape[0], 128))
+        return netG.apply(v, z, e, train=False)
+
+    sample = jax.jit(one_step)
+    _fence(sample(gvars, jax.random.PRNGKey(1), emb))  # compile+warmup
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = sample(gvars, jax.random.PRNGKey(2 + i), emb)
+    _fence(out)
+    dt = (time.perf_counter() - t0) / n_rep
+    return batch / dt / max(jax.device_count(), 1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -132,6 +161,9 @@ def main():
                      mults=(1, 2, 2, 4, 4, 8, 8), cond_scale=2.0, n_rep=1)
         train = dict(img=64, nc=3, batch=128, dim=64, mults=(1, 2, 2, 4, 8),
                      n_steps=20)
+        # RC-49 DMD2-M student config (scripts/RC64/linux/run_dmd.sh:
+        # SNGAN gene_ch 84); many reps — a single forward is microseconds
+        dmd = dict(img=64, nc=3, batch=512, gene_ch=84, n_rep=20)
     else:  # keep CI/dev runs tractable
         head = dict(img=16, nc=3, batch=8, steps=10, dim=16,
                     mults=(1, 2), cond_scale=1.5, n_rep=1)
@@ -140,6 +172,7 @@ def main():
         uk192 = dict(img=32, nc=3, batch=4, steps=10, dim=16,
                      mults=(1, 2, 2, 4), cond_scale=2.0, n_rep=1)
         train = dict(img=16, nc=3, batch=16, dim=16, mults=(1, 2), n_steps=3)
+        dmd = dict(img=64, nc=3, batch=32, gene_ch=16, n_rep=3)
 
     value = bench_sampler(jax, jnp, **head)
 
@@ -156,6 +189,10 @@ def main():
         extra["train_img_s"] = round(bench_train(jax, jnp, **train), 1)
     except Exception as e:
         extra["train_error"] = type(e).__name__
+    try:
+        extra["dmd_onestep_img_s"] = round(bench_dmd_onestep(jax, jnp, **dmd), 1)
+    except Exception as e:
+        extra["dmd_error"] = type(e).__name__
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     if os.path.exists(base_path):

@@ -219,15 +219,26 @@ def make_synthetic(n: int = 512, image_size: int = 64, channels: int = 3,
 
 def load_dataset(name: str, data_path: str = "./datasets", **kwargs) -> DatasetBundle:
     """Flag-compatible dispatcher (opts.py --data_name values)."""
+    from ccdm_tpu.data.power import load_power_vector, make_synthetic_power
+
     loaders = {
         "RC-49": load_rc49,
         "UTKFace": load_utkface,
         "SteeringAngle": load_steeringangle,
         "Cell200": load_cell200,
-        "synthetic": lambda data_path=None, **kw: make_synthetic(**kw),
+        "synthetic": make_synthetic,
+        "synthetic_power": make_synthetic_power,
     }
+    if name == "power_vector":
+        # Sliced-CCDM's multi-dim-label dataset (ref dataset.py:93-235,
+        # main.py:96-110); kwargs: design_folder, power_path,
+        # power_transformer — data_path supplies the defaults
+        kwargs.setdefault("design_folder", os.path.join(data_path, "designs"))
+        kwargs.setdefault("power_path", os.path.join(data_path, "power.csv"))
+        return load_power_vector(**kwargs)
     if name not in loaders:
-        raise ValueError(f"unknown dataset {name}; choices: {sorted(loaders)}")
-    if name == "synthetic":
+        raise ValueError(
+            f"unknown dataset {name}; choices: {sorted(loaders) + ['power_vector']}")
+    if name in ("synthetic", "synthetic_power"):
         return loaders[name](**kwargs)
     return loaders[name](data_path, **kwargs)

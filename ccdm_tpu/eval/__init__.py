@@ -10,3 +10,9 @@ from ccdm_tpu.eval.metrics import (
     intra_class_fid,
 )
 from ccdm_tpu.eval.sfid import sliding_window_eval
+from ccdm_tpu.eval.niqe import (
+    NIQEModel,
+    fit_niqe_model,
+    niqe_score,
+    default_patch_for,
+)

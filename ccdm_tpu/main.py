@@ -23,7 +23,18 @@ from ccdm_tpu.opts import parse_opts, parse_channel_mult
 def get_eval_labels(bundle, args) -> np.ndarray:
     """Eval label grid by eval_mode (vanilla opts.py:74-88 semantics):
     1: unique train labels; 2: unique labels of the full raw set;
-    3: unseen (raw-set labels not in the train subset); 4: linspace grid."""
+    3: unseen (raw-set labels not in the train subset); 4: linspace grid.
+
+    Multi-dim labels (power_vector): unique ROWS of the eval/train label
+    matrix — the reference's own sampling loop would shape-error here
+    (`curr_label * np.ones(nfake)` with a vector curr_label,
+    CCDM_unified/main.py:525); we return [N,D] and tile downstream."""
+    if getattr(bundle, "label_dim", 1) > 1:
+        rows = (bundle.eval_labels_raw
+                if bundle.eval_labels_raw is not None else bundle.labels_raw)
+        if args.eval_mode == 1:
+            rows = bundle.labels_raw
+        return np.unique(np.asarray(rows, np.float64), axis=0)
     train_unique = np.sort(np.unique(bundle.labels_raw))
     if args.eval_mode == 1:
         return train_unique
@@ -125,6 +136,24 @@ def main(argv=None):
     elif args.data_name == "Cell200":
         ds_kwargs.update(min_label=args.min_label, max_label=args.max_label,
                          stepsize=args.stepsize, num_imgs_per_label=args.num_imgs_per_label)
+    elif args.data_name == "power_vector":
+        # Sliced-CCDM multi-dim-label dataset (ref main.py:96-110); the
+        # reference constructs-but-disables the PowerTransformer — ours is
+        # an opt-in flag
+        ds_kwargs = {}
+        if args.design_folder != "None":
+            ds_kwargs["design_folder"] = args.design_folder
+        if args.power_data_path != "None":
+            ds_kwargs["power_path"] = args.power_data_path
+        if args.use_power_transformer:
+            from ccdm_tpu.data.power import PowerTransformer
+
+            pp = ds_kwargs.get("power_path",
+                               os.path.join(args.data_path, "power.csv"))
+            ds_kwargs["power_transformer"] = PowerTransformer().fit(
+                np.loadtxt(pp, delimiter=",", skiprows=1))
+    elif args.data_name == "synthetic_power":
+        ds_kwargs.update(label_dim=args.label_dim, seed=args.seed)
     else:  # synthetic
         ds_kwargs.update(channels=args.num_channels)
     bundle = load_dataset(args.data_name, args.data_path, **ds_kwargs)
@@ -282,11 +311,17 @@ def main(argv=None):
     os.makedirs(dump_folder, exist_ok=True)
 
     total_time = 0.0
+    multi_dim = eval_labels.ndim > 1
     all_fake_images, all_fake_labels = [], []
     for i, curr_label in enumerate(eval_labels):
-        fp = os.path.join(dump_folder, f"{curr_label}.h5")
+        # vector labels get index-keyed files (a [D] vector is no filename);
+        # scalar labels keep the reference's `{label}.h5` convention
+        fp = os.path.join(dump_folder,
+                          f"label_{i:05d}.h5" if multi_dim else f"{curr_label}.h5")
         if not os.path.isfile(fp):
-            fake_labels_i = curr_label * np.ones(args.nfake_per_label)
+            fake_labels_i = (np.tile(curr_label, (args.nfake_per_label, 1))
+                             if multi_dim
+                             else curr_label * np.ones(args.nfake_per_label))
             start = timeit.default_timer()
             fake_images_i, _ = trainer.sample_given_labels(
                 given_labels=bundle.fn_normalize(fake_labels_i),
@@ -307,8 +342,9 @@ def main(argv=None):
                                      compression="gzip", compression_opts=6)
                     f.create_dataset("fake_labels_i", data=fake_labels_i, dtype="float")
                     f.create_dataset("sample_time_i", data=np.array([sample_time_i]), dtype="float")
+            grid_name = f"sample_{i:05d}.png" if multi_dim else f"sample_{curr_label}.png"
             save_image_grid(fake_images_i[:36].astype(np.float32) / 255.0,
-                            os.path.join(dump_folder, f"sample_{curr_label}.png"), nrow=6)
+                            os.path.join(dump_folder, grid_name), nrow=6)
         else:
             with h5py.File(fp, "r") as f:
                 sample_time_i = float(f["sample_time_i"][0])
@@ -338,6 +374,15 @@ def main(argv=None):
             arr = img[..., 0] if img.shape[-1] == 1 else img
             Image.fromarray(arr).save(os.path.join(niqe_dir, f"{i}_{lab}.png"))
         print(f"NIQE dump complete: {len(fakes)} PNGs -> {niqe_dir}")
+        return
+
+    if args.comp_FID and multi_dim:
+        # the sliding-window SFID/LS protocol is scalar-label by construction
+        # (vanilla main.py:562-643 slides over a 1-D label range); the
+        # reference has NO eval path for power_vector at all — we stop with
+        # the dumps rather than emit meaningless windows
+        print(" comp_FID skipped: the SFID/LS sliding-window protocol is "
+              "scalar-label; multi-dim runs produce sample dumps only.")
         return
 
     if args.comp_FID:
@@ -481,6 +526,38 @@ def main(argv=None):
             prdc_ctrl = compute_prdc(fr[perm[:half]], fr[perm[half:2 * half]],
                                      nearest_k=args.prdc_nearest_k)
 
+        niqe = None
+        niqe_ctrl = None
+        if args.comp_niqe:
+            # native NIQE (eval/niqe.py) — the reference's protocol computes
+            # this in external MATLAB (vanilla main.py:498-513); here the
+            # pristine MVG is fitted on the dataset's real images (cached by
+            # backbone-style content key) and fakes are scored in-process,
+            # with a held-out real-vs-real control anchoring the scale
+            from ccdm_tpu.eval.niqe import (
+                NIQEModel, default_patch_for, fit_niqe_model, niqe_score)
+
+            patch = args.niqe_patch or default_patch_for(args.image_size)
+            rs_n = np.random.RandomState(args.seed + 7)
+            perm_n = rs_n.permutation(len(real_images))
+            n_fit = max(len(real_images) - 500, len(real_images) // 2)
+            fit_idx, hold_idx = perm_n[:n_fit], perm_n[n_fit:]
+            model_path = os.path.join(
+                args.eval_ckpt_path, "eval_models",
+                f"niqe_model_p{patch}_n{n_fit}_seed{args.seed}.npz")
+            if os.path.isfile(model_path):
+                nmodel = NIQEModel.load(model_path)
+            else:
+                nmodel = fit_niqe_model(real_images[fit_idx], patch=patch,
+                                        seed=args.seed)
+                os.makedirs(os.path.dirname(model_path), exist_ok=True)
+                nmodel.save(model_path)
+            nsub = rs_n.permutation(len(fakes))[:min(len(fakes), 1000)]
+            scores = niqe_score(fakes[nsub], nmodel)
+            niqe = (float(scores.mean()), float(scores.std()))
+            ctrl = niqe_score(real_images[hold_idx[:500]], nmodel)
+            niqe_ctrl = (float(ctrl.mean()), float(ctrl.std()))
+
         ifid = None
         if args.comp_intra_fid:
             # per-label-value FID (StudioGAN worker.py:1392-1466 'iFID'; the
@@ -520,6 +597,11 @@ def main(argv=None):
                 f.write(f"\n PRDC real-vs-real control (split-half): "
                         f"precision {prdc_ctrl['precision']:.3f}, recall {prdc_ctrl['recall']:.3f}, "
                         f"density {prdc_ctrl['density']:.3f}, coverage {prdc_ctrl['coverage']:.3f}.")
+            if niqe is not None:
+                f.write(f"\n NIQE (native, dataset-calibrated): "
+                        f"{niqe[0]:.3f} ({niqe[1]:.3f}).")
+                f.write(f"\n NIQE real-vs-real control (held-out): "
+                        f"{niqe_ctrl[0]:.3f} ({niqe_ctrl[1]:.3f}).")
             if ifid is not None:
                 f.write(f"\n Intra-class FID: {ifid[0]:.3f} ({ifid[1]:.3f}).")
         print(f"\n SFID: {sfid_m:.3f}({sfid_s:.3f})  LS: {ls_all:.3f}  "
@@ -527,6 +609,9 @@ def main(argv=None):
         if prdc is not None:
             print(f" PRDC: P={prdc['precision']:.3f} R={prdc['recall']:.3f} "
                   f"D={prdc['density']:.3f} C={prdc['coverage']:.3f}")
+        if niqe is not None:
+            print(f" NIQE: {niqe[0]:.3f}({niqe[1]:.3f})  "
+                  f"control: {niqe_ctrl[0]:.3f}({niqe_ctrl[1]:.3f})")
         if ifid is not None:
             print(f" iFID: {ifid[0]:.3f}({ifid[1]:.3f})")
 

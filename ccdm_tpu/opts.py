@@ -17,8 +17,23 @@ def parse_opts(argv=None):
     # Overall
     parser.add_argument("--root_path", type=str, default="./")
     parser.add_argument("--data_name", type=str, default="synthetic",
-                        choices=["UTKFace", "RC-49", "Cell200", "SteeringAngle", "synthetic"])
+                        choices=["UTKFace", "RC-49", "Cell200", "SteeringAngle",
+                                 "synthetic", "power_vector", "synthetic_power"])
     parser.add_argument("--data_path", type=str, default="./datasets")
+    # power_vector (Sliced-CCDM, ref opts.py --design_folder/--power_data_path;
+    # dataset.py:93-235): tiff design images + CSV power vectors, multi-dim
+    # labels. synthetic_power is the fixture stand-in (data/power.py).
+    parser.add_argument("--design_folder", type=str, default="None",
+                        help="power_vector: tiff design-image folder "
+                             "(default <data_path>/designs)")
+    parser.add_argument("--power_data_path", type=str, default="None",
+                        help="power_vector: power-vector CSV "
+                             "(default <data_path>/power.csv)")
+    parser.add_argument("--use_power_transformer", action="store_true", default=False,
+                        help="normalize power labels with the quantile "
+                             "PowerTransformer (ref dataset.py:13-90; the "
+                             "reference constructs-but-disables it, "
+                             "main.py:95-104)")
     parser.add_argument("--eval_ckpt_path", type=str, default="./")
     parser.add_argument("--seed", type=int, default=111)
     parser.add_argument("--num_workers", type=int, default=0)
@@ -148,6 +163,14 @@ def parse_opts(argv=None):
     parser.add_argument("--FID_num_centers", type=int, default=-1)
     parser.add_argument("--dump_fake_for_NIQE", action="store_true", default=False)
     parser.add_argument("--niqe_dump_path", type=str, default="None")
+    parser.add_argument("--comp_niqe", action="store_true", default=False,
+                        help="native in-process NIQE (eval/niqe.py) calibrated "
+                             "on the dataset's real images — replaces the "
+                             "reference's external MATLAB step "
+                             "(vanilla main.py:498-513)")
+    parser.add_argument("--niqe_patch", type=int, default=0,
+                        help="NIQE patch size; 0 = auto (96 at >=192px, "
+                             "else image_size/2)")
     parser.add_argument("--comp_IS_and_FID_only", action="store_true", default=False)
     parser.add_argument("--comp_prdc", action="store_true", default=False,
                         help="precision/recall/density/coverage over the FID feature net "

@@ -1,0 +1,91 @@
+"""power_vector / synthetic_power CLI reach (Sliced-CCDM's own dataset).
+
+The reference's unified tree can ONLY run power_vector (SURVEY §2.1 U2/U3),
+yet its sampling loop shape-errors on vector labels
+(`curr_label * np.ones(nfake)`, CCDM_unified/main.py:525). These tests pin
+our end-to-end multi-dim path: CLI dispatch, unique-row eval labels,
+index-keyed h5 dumps with [nfake, D] label matrices, and the tiff+CSV
+power_vector loader reachable through `--design_folder/--power_data_path`.
+"""
+
+import glob
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from ccdm_tpu.data.datasets import load_dataset
+
+
+def test_synthetic_power_cli_end_to_end(tmp_path):
+    from ccdm_tpu import main as cli
+
+    cli.main([
+        "--root_path", str(tmp_path), "--data_name", "synthetic_power",
+        "--label_dim", "4", "--image_size", "16", "--num_channels", "1",
+        "--vicinity_type", "shv", "--num_projections", "2",
+        "--model_channels", "8", "--channel_mult", "1_2",
+        "--train_timesteps", "20", "--niters", "2", "--train_batch_size", "16",
+        "--sample_every", "1000000", "--save_every", "1000000",
+        "--sampler", "ddim", "--sample_timesteps", "2",
+        "--nfake_per_label", "3", "--samp_batch_size", "3",
+        "--label_embed", "ccdm1", "--y2h_embed_type", "sinusoidal",
+        "--kappa", "-2.0", "--dump_fake_data", "--eval_mode", "1",
+    ])
+    setting = os.path.join(str(tmp_path), "output", "synthetic_power_16", "Setup1")
+    h5s = sorted(glob.glob(os.path.join(setting, "results", "fake_data_*",
+                                        "label_*.h5")))
+    assert h5s, "multi-dim run produced no index-keyed h5 dumps"
+    with h5py.File(h5s[0], "r") as f:
+        labs = f["fake_labels_i"][:]
+        imgs = f["fake_images_i"][:]
+    assert labs.shape == (3, 4), f"expected [nfake, D] labels, got {labs.shape}"
+    # every row of one dump is the SAME label vector (tiled, not broadcast)
+    np.testing.assert_array_equal(labs, np.tile(labs[:1], (3, 1)))
+    assert imgs.shape[0] == 3 and imgs.dtype == np.uint8
+
+
+def test_power_vector_loader_cli_dispatch(tmp_path):
+    """tiff designs + CSV powers -> DatasetBundle through load_dataset, with
+    the data_path-relative default layout and the PowerTransformer option."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    ddir = tmp_path / "designs"
+    ddir.mkdir()
+    n, dim = 12, 3
+    for i in range(n):
+        Image.fromarray(rng.integers(0, 255, (16, 16), dtype=np.uint8)).save(
+            str(ddir / f"{i}.tiff"))
+    power = rng.uniform(1e3, 240000, (n, dim))
+    np.savetxt(str(tmp_path / "power.csv"), power, delimiter=",",
+               header=",".join(f"p{i}" for i in range(dim)), comments="")
+
+    bundle = load_dataset("power_vector", str(tmp_path))
+    assert bundle.label_dim == dim
+    assert bundle.images.shape == (n, 16, 16, 1)
+    assert np.all(bundle.labels_norm <= 1.0) and np.all(bundle.labels_norm >= 0)
+
+    # PowerTransformer round-trips raw powers (ref dataset.py:13-90)
+    from ccdm_tpu.data.power import PowerTransformer
+
+    pt = PowerTransformer().fit(power)
+    bundle_t = load_dataset("power_vector", str(tmp_path), power_transformer=pt)
+    back = pt.inverse_transform(bundle_t.labels_norm)
+    np.testing.assert_allclose(back, power, rtol=0.25)
+
+
+def test_multidim_eval_labels_unique_rows():
+    """get_eval_labels returns unique ROWS for label_dim > 1."""
+    from ccdm_tpu.main import get_eval_labels
+
+    class _Args:
+        eval_mode = 1
+        FID_num_centers = -1
+
+    bundle = load_dataset("synthetic_power", n=32, image_size=16, label_dim=5,
+                          seed=3)
+    rows = get_eval_labels(bundle, _Args())
+    assert rows.ndim == 2 and rows.shape[1] == 5
+    assert len(np.unique(rows, axis=0)) == len(rows)
