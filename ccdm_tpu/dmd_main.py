@@ -89,6 +89,11 @@ def parse_opts_dmd(argv=None):
     p.add_argument("--sefa", action="store_true", default=False,
                    help="closed-form semantic latent axes of netG's first "
                         "dense layer (StudioGAN utils/sefa.py:12-30)")
+    # one-step student serving (python -m ccdm_tpu.serve_dmd)
+    p.add_argument("--serve_port", type=int, default=8600)
+    p.add_argument("--serve_host", type=str, default="127.0.0.1")
+    p.add_argument("--serve_max_labels", type=int, default=4096)
+    p.add_argument("--serve_milestone", type=int, default=0)
     return p.parse_args(argv)
 
 
