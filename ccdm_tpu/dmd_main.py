@@ -89,6 +89,20 @@ def parse_opts_dmd(argv=None):
     p.add_argument("--sefa", action="store_true", default=False,
                    help="closed-form semantic latent axes of netG's first "
                         "dense layer (StudioGAN utils/sefa.py:12-30)")
+    # evaluation (the full CCGM protocol shared with main.py via
+    # eval/protocol.py — point --eval_ckpt_path at the TEACHER's run dir so
+    # the pinned backbones make teacher/student numbers comparable)
+    p.add_argument("--comp_FID", action="store_true", default=False)
+    p.add_argument("--FID_radius", type=float, default=0)
+    p.add_argument("--FID_num_centers", type=int, default=-1)
+    p.add_argument("--comp_prdc", action="store_true", default=False)
+    p.add_argument("--prdc_nearest_k", type=int, default=5)
+    p.add_argument("--comp_intra_fid", action="store_true", default=False)
+    p.add_argument("--comp_niqe", action="store_true", default=False)
+    p.add_argument("--niqe_patch", type=int, default=0)
+    p.add_argument("--epochs_eval_ae", type=int, default=10)
+    p.add_argument("--epochs_eval_cnn", type=int, default=20)
+    p.add_argument("--eval_ckpt_path", type=str, default="./")
     # one-step student serving (python -m ccdm_tpu.serve_dmd)
     p.add_argument("--serve_port", type=int, default=8600)
     p.add_argument("--serve_host", type=str, default="127.0.0.1")
@@ -219,13 +233,17 @@ def main(argv=None):
     trainer.save(args.niters)
 
     # one-step sampling per eval label
-    args.FID_num_centers = -1
     eval_labels = get_eval_labels(bundle, args)
     dump_folder = os.path.join(results_folder, f"fake_data_onestep_niters{args.niters}")
     os.makedirs(dump_folder, exist_ok=True)
+    all_fake_images, all_fake_labels = [], []
     for curr_label in eval_labels:
         fp = os.path.join(dump_folder, f"{curr_label}.h5")
         if os.path.isfile(fp):
+            if args.comp_FID:
+                with h5py.File(fp, "r") as f:
+                    all_fake_images.append(f["fake_images_i"][:])
+                    all_fake_labels.append(f["fake_labels_i"][:])
             continue
         fake_labels_i = curr_label * np.ones(args.nfake_per_label)
         imgs, _ = trainer.sample_given_labels(
@@ -237,7 +255,21 @@ def main(argv=None):
             f.create_dataset("fake_labels_i", data=fake_labels_i, dtype="float")
         save_image_grid(imgs[:36].astype(np.float32) / 255.0,
                         os.path.join(dump_folder, f"sample_{curr_label}.png"), nrow=6)
+        if args.comp_FID:
+            all_fake_images.append(imgs)
+            all_fake_labels.append(fake_labels_i)
     print("DMD sampling complete")
+
+    if args.comp_FID:
+        # score the ONE-STEP student with the same protocol + backbones as
+        # the teacher (eval/protocol.py; the unified reference has no DMD
+        # eval at all — the paper's DMD2-M numbers use the vanilla protocol)
+        from ccdm_tpu.eval.protocol import run_ccgm_eval
+
+        run_ccgm_eval(args, bundle,
+                      np.concatenate(all_fake_images, axis=0),
+                      np.concatenate(all_fake_labels),
+                      setting_folder, total_time=0.0)
 
     if args.interpolation or args.sefa:
         from ccdm_tpu.eval import analysis

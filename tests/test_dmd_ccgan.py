@@ -96,3 +96,35 @@ def test_ccgan_trainer_smoke(tmp_path):
     tr.train(progress=False)
     imgs, _ = tr.sample_given_labels(np.linspace(0.1, 0.9, 4), batch_size=4)
     assert imgs.shape == (4, IMG, IMG, NC) and imgs.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_dmd_main_comp_fid_eval(tmp_path):
+    """dmd_main --comp_FID scores the one-step student through the shared
+    CCGM protocol (eval/protocol.py) — eval_results file + per-center npz
+    land in the DMD setting folder."""
+    import glob
+    import os
+
+    from ccdm_tpu import dmd_main
+
+    dmd_main.main([
+        "--root_path", str(tmp_path), "--data_name", "synthetic",
+        "--image_size", "64", "--num_channels", "1",
+        "--model_channels", "8", "--channel_mult", "1_2",
+        "--niters", "2", "--train_batch_size", "8", "--num_D_steps", "1",
+        "--train_timesteps", "20", "--gene_ch", "4", "--disc_ch", "4",
+        "--dim_z", "16", "--nfake_per_label", "6", "--samp_batch_size", "6",
+        "--kappa", "0", "--eval_mode", "1",
+        "--comp_FID", "--FID_radius", "0.1", "--FID_num_centers", "3",
+        "--comp_prdc", "--comp_niqe", "--niqe_patch", "32",
+        "--epochs_eval_ae", "1", "--epochs_eval_cnn", "1",
+        "--eval_ckpt_path", str(tmp_path),
+    ])
+    setting = os.path.join(str(tmp_path), "output", "synthetic_64", "Setup1")
+    res = glob.glob(os.path.join(setting, "eval_results_niters2.txt"))
+    assert res, "DMD eval wrote no eval_results file"
+    text = open(res[0]).read()
+    for key in ("SFID:", "LS:", "PRDC", "NIQE"):
+        assert key in text, f"missing {key} in DMD eval results"
+    assert glob.glob(os.path.join(setting, "fid_ls_entropy_over_centers_*.npz"))
