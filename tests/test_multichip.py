@@ -45,6 +45,47 @@ def test_jit_allreduce_over_mesh(devices8):
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_local), rtol=1e-5)
 
 
+def test_batchnorm_stats_are_global_under_sharding(devices8):
+    """SyncBN equivalence (SURVEY.md §2.4): StudioGAN ships a 500-line
+    vendored Synchronized-BatchNorm (`sync_batchnorm/batchnorm.py:74-374`,
+    master-slave reduce `comm.py:78-137`) because torch-DDP BatchNorm sees
+    only the per-process shard. Under JAX SPMD the BN mean/var are written
+    as plain `jnp.mean` over the batch axis, so when the batch is sharded
+    over the mesh XLA lowers them to a cross-replica all-reduce — the
+    statistics are GLOBAL-batch by construction. This test pins that: the
+    batch_stats a sharded 8-device forward writes must equal the
+    single-device (global-batch) ones, and the compiled module must
+    actually contain the collective."""
+    from ccdm_tpu.models.sngan import SNGANGenerator
+
+    mesh = create_mesh(devices8)
+    netG = SNGANGenerator(nc=1, img_size=64, gene_ch=4, dim_z=8, dim_embed=8)
+    z = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    y = jax.random.normal(jax.random.PRNGKey(1), (16, 8))
+    variables = netG.init(jax.random.PRNGKey(2), z[:2], y[:2], train=False)
+
+    def fwd(v, z, y):
+        out, mut = netG.apply(v, z, y, train=True, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    zs = jax.device_put(z, batch_sharded(mesh))
+    ys = jax.device_put(y, batch_sharded(mesh))
+    compiled = jax.jit(fwd).lower(variables, zs, ys).compile()
+    assert "all-reduce" in compiled.as_text(), (
+        "sharded BN forward has no cross-replica reduce")
+    _, stats_sharded = compiled(variables, zs, ys)
+    _, stats_local = fwd(variables, z, y)
+
+    flat_s = jax.tree_util.tree_leaves_with_path(stats_sharded)
+    flat_l = jax.tree_util.tree_leaves(stats_local)
+    assert flat_s and len(flat_s) == len(flat_l)
+    for (path, s), l in zip(flat_s, flat_l):
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(l), rtol=1e-5, atol=1e-6,
+            err_msg=f"batch_stats diverge at {jax.tree_util.keystr(path)}",
+        )
+
+
 @pytest.mark.slow  # compile-heavy (~60s); the driver dryrun covers this gate too
 def test_trainer_step_on_mesh(tmp_path, devices8):
     """Full train step jitted over an 8-device mesh."""
