@@ -65,10 +65,10 @@ class GenBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array, train: bool) -> jax.Array:
-        h = nn.relu(ConditionalBatchNorm(x.shape[-1], name="cond_bn1")(x, y, train))
+        h = nn.relu(ConditionalBatchNorm(x.shape[-1], momentum=0.999, name="cond_bn1")(x, y, train))
         h = upsample_nearest_2x(h)
         h = SNConv(self.out_channels, name="snconv1")(h, train)
-        h = nn.relu(ConditionalBatchNorm(self.out_channels, name="cond_bn2")(h, y, train))
+        h = nn.relu(ConditionalBatchNorm(self.out_channels, momentum=0.999, name="cond_bn2")(h, y, train))
         h = SNConv(self.out_channels, name="snconv2")(h, train)
         x0 = SNConv(self.out_channels, (1, 1), name="snconv0")(upsample_nearest_2x(x), train)
         return h + x0

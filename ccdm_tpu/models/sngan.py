@@ -28,10 +28,18 @@ class ConditionalBatchNorm(nn.Module):
     """BN(affine=False) modulated by label embedding (sngan.py:19-35)."""
 
     features: int
+    # torch nn.BatchNorm2d default momentum=0.1 == flax momentum 0.9
+    # (ref sngan.py:23 uses the default): without this the running stats
+    # lag ~10x behind the conditional gammas/betas and eval-mode forwards
+    # diverge from the train-mode outputs the discriminator was shown.
+    # SAGAN overrides with 0.999 (ref sagan.py:93 momentum=0.001).
+    momentum: float = 0.9
+
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array, train: bool) -> jax.Array:
         out = nn.BatchNorm(
-            use_running_average=not train, use_bias=False, use_scale=False, name="bn"
+            use_running_average=not train, use_bias=False, use_scale=False,
+            momentum=self.momentum, name="bn"
         )(x)
         gamma = nn.Dense(self.features, use_bias=False, name="embed_gamma")(y)
         beta = nn.Dense(self.features, use_bias=False, name="embed_beta")(y)
@@ -81,7 +89,7 @@ class SNGANGenerator(nn.Module):
         widths = [self.gene_ch * m[i + 1] for i in range(4)] + [self.gene_ch]
         for i in range(n_blocks):
             h = GenResBlock(widths[i], name=f"genblock{i}")(h, y, train)
-        h = nn.BatchNorm(use_running_average=not train, name="final_bn")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="final_bn")(h)
         h = nn.Conv(self.nc, (3, 3), padding=1, kernel_init=_xavier(1.0), name="final_conv")(nn.relu(h))
         return jnp.tanh(h)
 

@@ -222,9 +222,15 @@ class CcGANTrainer:
             z = constrain_batch(
                 self.mesh, jax.random.normal(keys[1], (cfg.batch_size_disc, cfg.dim_gan))
             )
-            fake, _ = self._g_apply(state["g_params"], state["g_stats"], z,
-                                    self.fn_y2h(fake_labels.reshape(-1)), train=False)
+            # reference netG stays in train() mode through the D updates
+            # (train_ccgan.py:639 is the only mode switch in the loop), so the
+            # fakes D rejects use batch statistics and the running stats
+            # advance here too — eval-mode fakes would let the train/eval BN
+            # gap grow unchecked (D never scores the eval path G samples with)
+            fake, g_upd = self._g_apply(state["g_params"], state["g_stats"], z,
+                                        self.fn_y2h(fake_labels.reshape(-1)), train=True)
             fake = jax.lax.stop_gradient(fake)
+            g_stats_d = g_upd.get("batch_stats", state["g_stats"])
 
             w_real = self._weights(real_labels, targets)
             w_fake = self._weights(fake_labels, targets)
@@ -276,6 +282,7 @@ class CcGANTrainer:
             state = dict(state)
             state["d_params"] = optax.apply_updates(state["d_params"], upd)
             state["d_stats"] = d_stats
+            state["g_stats"] = g_stats_d
             state["d_opt"] = d_opt
             return state, loss
 
@@ -338,8 +345,27 @@ class CcGANTrainer:
                 logger.log_scalars({"step": step, "d_loss": float(d_loss), "g_loss": float(g_loss)})
                 if progress:
                     print(f"ccgan step {step}/{cfg.niters} d={float(d_loss):.4f} g={float(g_loss):.4f}")
+            if step % cfg.visualize_freq == 0 and jax.process_index() == 0:
+                self._dump_visual_grid(step)
             if step % cfg.save_niters_freq == 0:
                 self.save(step)
+
+    def _dump_visual_grid(self, step: int) -> None:
+        """Periodic EVAL-mode grid at visualize_freq (ref train_ccgan.py:
+        679-686 saves a fixed-z y_fixed grid) — 6 quantile-spaced labels x 6
+        z draws, watching the same eval-mode path the final sampling uses so
+        a train/eval BN divergence is visible DURING training."""
+        from ccdm_tpu.utils.viz import save_image_grid
+
+        uniq = np.unique(np.asarray(jax.device_get(self.unique_labels)).reshape(-1))
+        rows = np.quantile(uniq, np.linspace(0.05, 0.95, 6))
+        y_visual = np.repeat(rows, 6).astype(np.float32)
+        imgs, _ = self.sample_given_labels(y_visual, batch_size=len(y_visual), denorm=False)
+        save_image_grid(
+            np.clip(np.asarray(imgs) * 0.5 + 0.5, 0.0, 1.0),
+            os.path.join(self.cfg.results_folder, f"sample_{step}.png"),
+            nrow=6,
+        )
 
     def sample_given_labels(self, given_labels: np.ndarray, batch_size: int = 500,
                             denorm: bool = True, to_numpy: bool = True):

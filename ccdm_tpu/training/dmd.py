@@ -43,6 +43,7 @@ from ccdm_tpu.training.hyperparams import compute_vicinal_hyperparams
 from ccdm_tpu.training.vicinity import sample_target_labels, select_vicinity_indices
 from ccdm_tpu.utils.ckpt import load_checkpoint, save_checkpoint
 from ccdm_tpu.utils.logging import TrainLogger
+from ccdm_tpu.utils.viz import save_image_grid
 
 
 @dataclasses.dataclass
@@ -327,9 +328,19 @@ class DMD2Trainer:
             gvars = {"params": state["gen_params"]}
             if state["gen_stats"]:
                 gvars["batch_stats"] = state["gen_stats"]
-            fake = jax.lax.stop_gradient(
-                self.netG.apply(gvars, z, self.fn_y2h(fake_labels.reshape(-1)), train=False)
+            # The reference never switches netG to eval between the G and D
+            # sections (dmd.py:691 sets .train(); no .eval() before :746+), so
+            # the fakes shown to D use BATCH statistics and the running stats
+            # advance on every D-step forward. Generating these fakes in eval
+            # mode instead lets the train/eval BN gap grow unchecked: D only
+            # ever rejects eval-mode outputs while G optimizes train-mode
+            # ones, and eval-time sampling collapses.
+            fake, g_upd = self.netG.apply(
+                gvars, z, self.fn_y2h(fake_labels.reshape(-1)),
+                train=True, mutable=["batch_stats"],
             )
+            fake = jax.lax.stop_gradient(fake)
+            gen_stats = g_upd.get("batch_stats", state["gen_stats"])
 
             def loss_fn(gui_params):
                 d_real, stats1 = self._d_out(gui_params, state["netD_stats"], k_advr, real, targets, train=True)
@@ -343,6 +354,7 @@ class DMD2Trainer:
             state = dict(state)
             state["gui_params"] = optax.apply_updates(state["gui_params"], upd)
             state["netD_stats"] = netD_stats
+            state["gen_stats"] = gen_stats
             state["gui_opt"] = gui_opt
             return state, (loss, dn, adv)
 
@@ -376,8 +388,26 @@ class DMD2Trainer:
                 logger.log_text(step, float(g_loss))
                 if progress:
                     print(f"dmd step {step}/{cfg.niters} g={float(g_loss):.4f} d={np.mean(d_losses):.4f}")
+            if step % cfg.sample_every == 0 and jax.process_index() == 0:
+                self._dump_visual_grid(step)
             if step % cfg.save_every == 0:
                 self.save(step)
+
+    def _dump_visual_grid(self, step: int) -> None:
+        """Periodic EVAL-mode sample grid (ref dmd.py y_visual PNG at
+        sample_every) — 6 quantile-spaced labels x 6 z draws. Sampling in
+        eval mode is deliberate: it watches the path the final per-label
+        sampling uses, so a train/eval BN divergence shows up DURING
+        training instead of at the end."""
+        uniq = np.unique(np.asarray(jax.device_get(self.unique_labels)).reshape(-1))
+        rows = np.quantile(uniq, np.linspace(0.05, 0.95, 6))
+        y_visual = np.repeat(rows, 6).astype(np.float32)
+        imgs, _ = self.sample_given_labels(y_visual, batch_size=len(y_visual), denorm=False)
+        save_image_grid(
+            np.clip(np.asarray(imgs), 0.0, 1.0),
+            os.path.join(self.cfg.results_folder, f"sample_{step}.png"),
+            nrow=6,
+        )
 
     # ----------------------------------------------------------- sampling
 

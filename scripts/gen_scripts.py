@@ -91,4 +91,41 @@ for tag, data, img, minl, maxl, ch, mult, teacher, gene_ch, wD, wG, kappa, niter
                                     wD=wD, wG=wG, kappa=kappa, niters=niters))
     os.chmod(path, os.stat(path).st_mode | stat.S_IEXEC)
 
+CCGAN_TEMPLATE = """#!/bin/bash
+# {tag} CcGAN baseline launch — hyperparameters mirror the reference
+# CCDM_vanilla/{refdir}/CCGM/CcGAN/scripts/run_train.sh.{note}
+ROOT_PATH=${{ROOT_PATH:-./}}
+DATA_PATH=${{DATA_PATH:-./datasets}}
+
+python -m ccdm_tpu.ccgan_main \\
+    --setting_name Setup_CcGAN \\
+    --root_path $ROOT_PATH --data_name {data} --data_path $DATA_PATH \\
+    --image_size {img} --min_label {minl} --max_label {maxl} {extra} \\
+    --gan_arch {arch} --gene_ch {gene_ch} --disc_ch {disc_ch} --dim_gan 256 \\
+    --niters {niters} --loss_type {loss} --num_D_steps 2 \\
+    --batch_size_disc {bd} --batch_size_gene {bg} \\
+    --lr_g 1e-4 --lr_d 1e-4 \\
+    --kernel_sigma -1.0 --threshold_type {vtype} --kappa {kappa} \\
+    --gan_DiffAugment \\
+    --save_niters_freq 5000 --visualize_freq 2000 \\
+    --samp_batch_size 500 --nfake_per_label 200 --dump_fake_data \\
+    "$@" 2>&1 | tee output_ccgan_{data}_{img}.txt
+"""
+
+for tag, data, img, minl, maxl, refdir, arch, gene_ch, disc_ch, bd, bg, loss, vtype, kappa, niters, extra, note in [
+    ("RC64", "RC-49", 64, 0, 90.0, "RC-49/RC-49_64x64", "sagan", 64, 64,
+     256, 256, "hinge", "soft", -2.0, 30000, "", ""),
+    ("Cell", "Cell200", 64, 1, 200, "Cell-200/Cell-200_64x64", "sngan", 64, 64,
+     32, 512, "vanilla", "soft", -2.0, 5000, "--num_channels 1",
+     "\n# (reference uses DCGAN here; SNGAN is the closest in-framework arch)"),
+]:
+    path = f"/root/repo/scripts/{tag}/run_ccgan.sh"
+    with open(path, "w") as f:
+        f.write(CCGAN_TEMPLATE.format(tag=tag, data=data, img=img, minl=minl, maxl=maxl,
+                                      refdir=refdir, arch=arch, gene_ch=gene_ch,
+                                      disc_ch=disc_ch, bd=bd, bg=bg, loss=loss,
+                                      vtype=vtype, kappa=kappa, niters=niters,
+                                      extra=extra, note=note))
+    os.chmod(path, os.stat(path).st_mode | stat.S_IEXEC)
+
 print("generated", len(os.listdir("/root/repo/scripts")))
