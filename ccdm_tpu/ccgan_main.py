@@ -101,6 +101,16 @@ def parse_opts_ccgan(argv=None):
     return p.parse_args(argv)
 
 
+def _check_nda_inputs(args):
+    """Dual-NDA Type-I negatives (nda_d/nda_e) require pre-generated bad
+    fakes; silently training a different objective than the flags request
+    would be a trap (ref Dual-NDA train_ccgan.py requires the h5 dumps)."""
+    if args.nda_d > 0 and not args.badfake_niqe_path:
+        raise SystemExit("--nda_d > 0 requires --badfake_niqe_path (h5 of low-NIQE bad fakes)")
+    if args.nda_e > 0 and not args.badfake_mae_path:
+        raise SystemExit("--nda_e > 0 requires --badfake_mae_path (h5 of high-MAE bad fakes)")
+
+
 def _load_badfake(path: str):
     if not path:
         return None
@@ -131,6 +141,7 @@ def main(argv=None):
     import jax
 
     args = parse_opts_ccgan(argv)
+    _check_nda_inputs(args)
     np.random.seed(args.seed)
 
     setting_folder = os.path.join(

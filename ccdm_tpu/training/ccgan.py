@@ -345,7 +345,10 @@ class CcGANTrainer:
                 logger.log_scalars({"step": step, "d_loss": float(d_loss), "g_loss": float(g_loss)})
                 if progress:
                     print(f"ccgan step {step}/{cfg.niters} d={float(d_loss):.4f} g={float(g_loss):.4f}")
-            if step % cfg.visualize_freq == 0 and jax.process_index() == 0:
+            if step % cfg.visualize_freq == 0:
+                # sampling must run on ALL processes (globally-sharded state
+                # under a multi-host mesh deadlocks if only process 0 enters
+                # the jitted computation); only the PNG write is gated
                 self._dump_visual_grid(step)
             if step % cfg.save_niters_freq == 0:
                 self.save(step)
@@ -361,11 +364,12 @@ class CcGANTrainer:
         rows = np.quantile(uniq, np.linspace(0.05, 0.95, 6))
         y_visual = np.repeat(rows, 6).astype(np.float32)
         imgs, _ = self.sample_given_labels(y_visual, batch_size=len(y_visual), denorm=False)
-        save_image_grid(
-            np.clip(np.asarray(imgs) * 0.5 + 0.5, 0.0, 1.0),
-            os.path.join(self.cfg.results_folder, f"sample_{step}.png"),
-            nrow=6,
-        )
+        if jax.process_index() == 0:
+            save_image_grid(
+                np.clip(np.asarray(imgs) * 0.5 + 0.5, 0.0, 1.0),
+                os.path.join(self.cfg.results_folder, f"sample_{step}.png"),
+                nrow=6,
+            )
 
     def sample_given_labels(self, given_labels: np.ndarray, batch_size: int = 500,
                             denorm: bool = True, to_numpy: bool = True):

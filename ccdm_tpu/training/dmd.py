@@ -388,7 +388,10 @@ class DMD2Trainer:
                 logger.log_text(step, float(g_loss))
                 if progress:
                     print(f"dmd step {step}/{cfg.niters} g={float(g_loss):.4f} d={np.mean(d_losses):.4f}")
-            if step % cfg.sample_every == 0 and jax.process_index() == 0:
+            if step % cfg.sample_every == 0:
+                # run the jitted sampling on ALL processes (globally-sharded
+                # state would deadlock a multi-host mesh if only process 0
+                # entered the computation); only the PNG write is gated
                 self._dump_visual_grid(step)
             if step % cfg.save_every == 0:
                 self.save(step)
@@ -403,11 +406,12 @@ class DMD2Trainer:
         rows = np.quantile(uniq, np.linspace(0.05, 0.95, 6))
         y_visual = np.repeat(rows, 6).astype(np.float32)
         imgs, _ = self.sample_given_labels(y_visual, batch_size=len(y_visual), denorm=False)
-        save_image_grid(
-            np.clip(np.asarray(imgs), 0.0, 1.0),
-            os.path.join(self.cfg.results_folder, f"sample_{step}.png"),
-            nrow=6,
-        )
+        if jax.process_index() == 0:
+            save_image_grid(
+                np.clip(np.asarray(imgs), 0.0, 1.0),
+                os.path.join(self.cfg.results_folder, f"sample_{step}.png"),
+                nrow=6,
+            )
 
     # ----------------------------------------------------------- sampling
 

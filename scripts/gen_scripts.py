@@ -102,21 +102,23 @@ python -m ccdm_tpu.ccgan_main \\
     --root_path $ROOT_PATH --data_name {data} --data_path $DATA_PATH \\
     --image_size {img} --min_label {minl} --max_label {maxl} {extra} \\
     --gan_arch {arch} --gene_ch {gene_ch} --disc_ch {disc_ch} --dim_gan 256 \\
-    --niters {niters} --loss_type {loss} --num_D_steps 2 \\
+    --niters {niters} --loss_type {loss} --num_D_steps {nd} \\
     --batch_size_disc {bd} --batch_size_gene {bg} \\
     --lr_g 1e-4 --lr_d 1e-4 \\
-    --kernel_sigma -1.0 --threshold_type {vtype} --kappa {kappa} \\
-    --gan_DiffAugment \\
-    --save_niters_freq 5000 --visualize_freq 2000 \\
+    --kernel_sigma -1.0 --threshold_type {vtype} --kappa {kappa} \\{diffaug}
+    --save_niters_freq 5000 --visualize_freq {vis} \\
     --samp_batch_size 500 --nfake_per_label 200 --dump_fake_data \\
     "$@" 2>&1 | tee output_ccgan_{data}_{img}.txt
 """
 
-for tag, data, img, minl, maxl, refdir, arch, gene_ch, disc_ch, bd, bg, loss, vtype, kappa, niters, extra, note in [
+# per-dataset rows match the reference run_train.sh exactly: RC-49 uses
+# NUM_D_STEPS=2 + DiffAugment + visualize_freq 2000; Cell-200 uses
+# NUM_D_STEPS=1, no DiffAugment, visualize_freq 1000.
+for tag, data, img, minl, maxl, refdir, arch, gene_ch, disc_ch, bd, bg, loss, vtype, kappa, niters, nd, diffaug, vis, extra, note in [
     ("RC64", "RC-49", 64, 0, 90.0, "RC-49/RC-49_64x64", "sagan", 64, 64,
-     256, 256, "hinge", "soft", -2.0, 30000, "", ""),
+     256, 256, "hinge", "soft", -2.0, 30000, 2, "\n    --gan_DiffAugment \\", 2000, "", ""),
     ("Cell", "Cell200", 64, 1, 200, "Cell-200/Cell-200_64x64", "sngan", 64, 64,
-     32, 512, "vanilla", "soft", -2.0, 5000, "--num_channels 1",
+     32, 512, "vanilla", "soft", -2.0, 5000, 1, "", 1000, "--num_channels 1",
      "\n# (reference uses DCGAN here; SNGAN is the closest in-framework arch)"),
 ]:
     path = f"/root/repo/scripts/{tag}/run_ccgan.sh"
@@ -125,6 +127,7 @@ for tag, data, img, minl, maxl, refdir, arch, gene_ch, disc_ch, bd, bg, loss, vt
                                       refdir=refdir, arch=arch, gene_ch=gene_ch,
                                       disc_ch=disc_ch, bd=bd, bg=bg, loss=loss,
                                       vtype=vtype, kappa=kappa, niters=niters,
+                                      nd=nd, diffaug=diffaug, vis=vis,
                                       extra=extra, note=note))
     os.chmod(path, os.stat(path).st_mode | stat.S_IEXEC)
 
