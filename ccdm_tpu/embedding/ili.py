@@ -36,6 +36,24 @@ def _lr_schedule(lr_base: float, decay_epochs, steps_per_epoch: int, factor: flo
     return optax.piecewise_constant_schedule(lr_base, boundaries)
 
 
+# stage-1 CNN depths selectable via --net_embed (the reference ships only
+# ResNet34_embed, models.py; ResNet18 is the natural smaller sibling)
+NET_EMBED_BLOCKS = {
+    "ResNet18_embed": (2, 2, 2, 2),
+    "ResNet34_embed": (3, 4, 6, 3),
+}
+
+
+def _embed_blocks(net_embed: str):
+    base = net_embed.replace("_y2cov", "")
+    if base not in NET_EMBED_BLOCKS:
+        raise SystemExit(
+            f"unknown --net_embed '{net_embed}'; choose from "
+            f"{sorted(NET_EMBED_BLOCKS)} (optionally with an _y2cov suffix)"
+        )
+    return NET_EMBED_BLOCKS[base]
+
+
 def train_resnet_embed(
     images_u8: np.ndarray,
     labels_norm: np.ndarray,
@@ -47,8 +65,21 @@ def train_resnet_embed(
     weight_decay: float = 1e-4,
     seed: int = 0,
     log_every: int = 20,
+    num_blocks=(3, 4, 6, 3),
+    ckpt_dir: str | None = None,
+    ckpt_tag: str = "cnn",
+    resume_epoch: int = 0,
+    ckpt_every: int = 50,
 ) -> dict:
-    """Stage-1: ResNet x->(y,h) regressor. Returns trained variables."""
+    """Stage-1: ResNet x->(y,h) regressor. Returns trained variables.
+
+    With ``ckpt_dir`` set, saves an in-train checkpoint
+    ``{epoch, params, batch_stats, opt_state}`` every ``ckpt_every`` epochs
+    (ref label_embedding.py:1339-1347 saves {epoch, net, opt, rng_state})
+    and ``resume_epoch > 0`` restores that checkpoint and continues — a
+    200-epoch embed pretrain no longer restarts from scratch on
+    interruption. The PRNG stream is folded from (epoch, step), so the
+    resumed trajectory equals the uninterrupted one."""
     labels2d = np.asarray(labels_norm, np.float32)
     if labels2d.ndim == 1:
         labels2d = labels2d[:, None]
@@ -57,7 +88,7 @@ def train_resnet_embed(
     batch_size = min(batch_size, n)
     steps_per_epoch = max(n // batch_size, 1)
 
-    net = ResNetEmbed(dim_embed=dim_embed, label_dim=label_dim)
+    net = ResNetEmbed(dim_embed=dim_embed, label_dim=label_dim, num_blocks=tuple(num_blocks))
     key = jax.random.PRNGKey(seed)
     sample = jnp.zeros((2,) + images_u8.shape[1:], jnp.float32)
     variables = net.init(key, sample, train=False)
@@ -93,12 +124,34 @@ def train_resnet_embed(
         return params, updates["batch_stats"], opt_state, loss
 
     params, batch_stats = variables["params"], variables["batch_stats"]
-    for epoch in range(epochs):
+    start_epoch = 0
+    if ckpt_dir and resume_epoch > 0:
+        tag = f"{ckpt_tag}_epoch{resume_epoch}"
+        if not checkpoint_exists(ckpt_dir, tag):
+            raise FileNotFoundError(
+                f"no in-train embed checkpoint '{tag}' under {ckpt_dir}; "
+                f"available checkpoints are saved every {ckpt_every} epochs"
+            )
+        template = {"epoch": 0, "params": params, "batch_stats": batch_stats,
+                    "opt_state": opt_state}
+        stored = load_checkpoint(ckpt_dir, tag, target=template)
+        params, batch_stats, opt_state = (stored["params"], stored["batch_stats"],
+                                          stored["opt_state"])
+        start_epoch = int(stored["epoch"])
+        print(f" [resnet_embed] resumed '{tag}' at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, epochs):
         for s in range(steps_per_epoch):
             k = jax.random.fold_in(key, epoch * steps_per_epoch + s)
             params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state, k)
         if log_every and (epoch + 1) % log_every == 0:
             print(f"\r [resnet_embed] epoch {epoch+1}/{epochs} loss {float(loss):.5f}")
+        if ckpt_dir and (epoch + 1) % ckpt_every == 0 and (epoch + 1) < epochs:
+            save_checkpoint(ckpt_dir, f"{ckpt_tag}_epoch{epoch + 1}",
+                            {"epoch": epoch + 1,
+                             "params": jax.device_get(params),
+                             "batch_stats": jax.device_get(batch_stats),
+                             "opt_state": jax.device_get(opt_state)})
     return {"params": params, "batch_stats": batch_stats}
 
 
@@ -352,6 +405,11 @@ class LabelEmbed:
         dim_combination: str = "mean",
         require_cached: bool = False,
         label_dim: Optional[int] = None,
+        net_embed: str = "ResNet34_embed",
+        net_embed_y2cov: str = "ResNet34_embed_y2cov",
+        batch_size_y2cov: Optional[int] = None,
+        resume_epoch_cnn: int = 0,
+        resume_epoch_cnn_y2cov: int = 0,
     ):
         self.dim_embed = dim_embed
         embed_dir = os.path.join(path, "embed_models")
@@ -368,7 +426,11 @@ class LabelEmbed:
         noise_sigma = 0.2 if label_dim == 1 else 0.05
 
         # ---- y2h
-        tag = f"y2h_d{dim_embed}_e{epochs_cnn}_m{epochs_mlp}_seed{seed}"
+        # non-default stage-1 depth is part of the embedding space identity
+        # (the cached stage-2 MLP regresses that net's features), so it marks
+        # the cache tag; the default ResNet34 keeps the legacy tag format
+        net_mark = "" if net_embed == "ResNet34_embed" else f"_{net_embed.split('_')[0]}"
+        tag = f"y2h_d{dim_embed}_e{epochs_cnn}_m{epochs_mlp}_seed{seed}{net_mark}"
         cached_tag = find_cached_embedding(embed_dir, f"y2h_d{dim_embed}", tag)
         resnet_vars = None  # only set on a fresh training run (not cache reload)
         if cached_tag is not None:
@@ -387,6 +449,9 @@ class LabelEmbed:
             resnet_vars = train_resnet_embed(
                 dataset.images, labels, dim_embed,
                 epochs=epochs_cnn, batch_size=batch_size, seed=seed,
+                num_blocks=_embed_blocks(net_embed),
+                ckpt_dir=embed_dir, ckpt_tag=f"{tag}_cnn",
+                resume_epoch=resume_epoch_cnn,
             )
             uniq1 = uniq[:, 0] if label_dim == 1 else uniq.reshape(-1)
             mlp_vars = train_label_mlp(
@@ -445,7 +510,10 @@ class LabelEmbed:
         self.fn_y2cov = None
         if y2cov_type is not None:
             assert cov_dim is not None
-            tag_cov = f"y2cov_d{cov_dim}_e{epochs_cnn_y2cov}_m{epochs_mlp_y2cov}_seed{seed}"
+            cov_mark = ("" if net_embed_y2cov == "ResNet34_embed_y2cov"
+                        else f"_{net_embed_y2cov.split('_')[0]}")
+            tag_cov = (f"y2cov_d{cov_dim}_e{epochs_cnn_y2cov}"
+                       f"_m{epochs_mlp_y2cov}_seed{seed}{cov_mark}")
             if y2cov_type == "resnet":
                 cached_cov = find_cached_embedding(embed_dir, f"y2cov_d{cov_dim}", tag_cov)
                 if cached_cov is not None:
@@ -461,7 +529,11 @@ class LabelEmbed:
                 else:
                     resnet_cov_vars = train_resnet_embed(
                         dataset.images, labels, cov_dim,
-                        epochs=epochs_cnn_y2cov, batch_size=batch_size, seed=seed + 2,
+                        epochs=epochs_cnn_y2cov,
+                        batch_size=batch_size_y2cov or batch_size, seed=seed + 2,
+                        num_blocks=_embed_blocks(net_embed_y2cov),
+                        ckpt_dir=embed_dir, ckpt_tag=f"{tag_cov}_cnn",
+                        resume_epoch=resume_epoch_cnn_y2cov,
                     )
                     uniq1c = uniq[:, 0] if label_dim == 1 else uniq.reshape(-1)
                     cov_vars = train_label_mlp(

@@ -68,6 +68,11 @@ def build_label_embedding(
             epochs_cnn=getattr(args, "epoch_cnn_embed", 200),
             epochs_mlp=getattr(args, "epoch_net_y2h", 500),
             epochs_cnn_y2cov=getattr(args, "epoch_cnn_embed_y2cov", 10),
+            net_embed=getattr(args, "net_embed", "ResNet34_embed"),
+            net_embed_y2cov=getattr(args, "net_embed_y2cov", "ResNet34_embed_y2cov"),
+            batch_size_y2cov=getattr(args, "batch_size_embed_y2cov", None),
+            resume_epoch_cnn=getattr(args, "resumeepoch_cnn_embed", 0),
+            resume_epoch_cnn_y2cov=getattr(args, "resumeepoch_cnn_embed_y2cov", 0),
             epochs_mlp_y2cov=getattr(args, "epoch_net_y2cov", 500),
             batch_size=getattr(args, "batch_size_embed", 256),
             seed=getattr(args, "seed", 111),

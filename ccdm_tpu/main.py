@@ -225,6 +225,7 @@ def main(argv=None):
         distance=args.distance,
         hyperparameter=args.hyperparameter,
         percentile=args.percentile,
+        adaptive_slicing=args.adaptive_slicing,
         y_visual=y_visual,
         cond_scale_visual=args.sample_cond_scale,
         sample_timesteps_visual=min(args.sample_timesteps, 250),

@@ -10,6 +10,16 @@ from __future__ import annotations
 
 import argparse
 
+# Flags parsed for reference-CLI compatibility but deliberately inert here,
+# each with the reason. Every other flag must be consumed somewhere in the
+# package — tests/test_opts.py walks the parser and enforces exactly this
+# (no silently-dead flags).
+INERT_FLAGS = {
+    "num_workers": "torch DataLoader worker count (ref opts.py); the data "
+                   "pipeline is device-resident with no host loader "
+                   "processes, so there is nothing to parallelize",
+}
+
 
 def parse_opts(argv=None):
     parser = argparse.ArgumentParser()
@@ -36,7 +46,9 @@ def parse_opts(argv=None):
                              "main.py:95-104)")
     parser.add_argument("--eval_ckpt_path", type=str, default="./")
     parser.add_argument("--seed", type=int, default=111)
-    parser.add_argument("--num_workers", type=int, default=0)
+    parser.add_argument("--num_workers", type=int, default=0,
+                        help="accepted for reference-script compatibility; "
+                             "inert (see INERT_FLAGS)")
     parser.add_argument("--setting_name", type=str, default="Setup1")
 
     # Sliced-CCDM extensions

@@ -23,12 +23,14 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite's wall time is dominated by jit
 # compiles of near-identical graphs; warm re-runs (CI retries, the driver
 # gate, local iteration) skip them entirely. Keyed by HLO, so code changes
-# invalidate exactly the affected entries.
+# invalidate exactly the affected entries. Routed through the shared helper,
+# which scopes the directory per platform + host-CPU-feature fingerprint
+# (XLA:CPU AOT entries are not portable across machine types).
 try:
-    _cache_dir = os.environ.get("CCDM_TPU_TEST_CACHE", "/tmp/ccdm_test_jax_cache")
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from ccdm_tpu.utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache(os.environ.get("CCDM_TPU_TEST_CACHE", "/tmp/ccdm_test_jax_cache"),
+                  min_compile_secs=2.0)
 except Exception:
     pass  # older jax: run uncached
 
