@@ -145,7 +145,8 @@ class SNGANDiscriminator(nn.Module):
     ch_multi: Optional[Sequence[int]] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, y: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, y: jax.Array, train: bool = False,
+                 return_features: bool = False):
         assert self.img_size in (64, 128, 192)
         init_size = 6 if self.img_size == 192 else 4
         m = self.ch_multi or ((1, 2, 4, 8, 16) if self.img_size == 64 else (1, 2, 2, 4, 8, 16))
@@ -169,4 +170,8 @@ class SNGANDiscriminator(nn.Module):
         lin2 = nn.SpectralNorm(nn.Dense(feat_dim, use_bias=False, kernel_init=_xavier(1.0), name="linear2"))
         out = lin1(phi, update_stats=train)[:, 0]
         out_y = jnp.sum(phi * lin2(y, update_stats=train), axis=1)
+        if return_features:
+            # feature tap for the StudioGAN-style conditional heads
+            # (ReACGAN D2D-CE / ADCGAN operate on the pre-projection phi)
+            return out + out_y, phi
         return out + out_y
