@@ -20,9 +20,10 @@ Identical reduced config (both stacks; canonical values from the reference
 script `CCDM_vanilla/Cell-200/.../CCDM/scripts/run_train.sh` except where
 the 1-core CPU budget forces the reduction):
   niters 2000 (ref 20000), batch 16 (ref 128), lr 1e-4, T=1000, pred_x0,
-  hard vicinity, sigma/kappa rule-of-thumb (-1), embed CNN 20 epochs
-  (ref 200), y2h 100 epochs (ref 500), DDIM-25 @ cond_scale 1.5 (ref 250),
-  5 fakes x 200 labels.
+  hard vicinity, sigma/kappa rule-of-thumb (-1), embed CNN 5 epochs
+  (ref 200; one ResNet34 epoch costs ~9 min on the 1-core box, so the embed
+  budget is the binding constraint — both stacks get the SAME 5), y2h 60
+  epochs (ref 500), DDIM-25 @ cond_scale 1.5 (ref 250), 5 fakes x 200 labels.
 
 Phases (run separately — torch takes hours on 1 core):
   python examples/quality_parity_cell200.py --phase torch [--resume_niter N]
@@ -52,8 +53,8 @@ DATA = os.path.join(REPO, "runs", "datasets_fixture")
 NITERS = 2000
 BATCH = 16
 LR = "1e-4"
-EPOCH_CNN = 20
-EPOCH_Y2H = 100
+EPOCH_CNN = 5
+EPOCH_Y2H = 60
 SAMPLE_T = 25
 COND_SCALE = 1.5
 NFAKE_PER_LABEL = 5
