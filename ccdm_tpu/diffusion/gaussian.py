@@ -67,10 +67,33 @@ class DiffusionConfig:
     distance: str = "l2"
     vector_type: str = "gaussian"
     num_projections: int = 1
+    # Cap on the y2cov log-scale (h in Hy=exp(-h)); <=0 disables (exact
+    # reference semantics). See hy_from_y2cov for the rationale.
+    hy_max_log: float = 4.0
 
     @property
     def effective_sampling_timesteps(self) -> int:
         return self.sampling_timesteps or self.timesteps
+
+
+def hy_from_y2cov(h: jax.Array, max_log: float = 4.0) -> jax.Array:
+    """Hy = exp(-h) with the log-scale tail capped at ``max_log``.
+
+    The reference computes Hy = exp(-fn_y2cov(y)) with NO bound on h
+    (diffusion.py:502-505) and divides the per-pixel loss by Hy
+    (:581-594) — so a single runaway feature dimension in the (10-epoch,
+    barely-trained) y2cov CNN multiplies that pixel's loss by exp(h).
+    Measured failure (round 4, Cell-200 fixture): h_max 17.3 -> 1/Hy up to
+    3e7 at a handful of pixels, mean 1/Hy 8262; the vicinal loss was
+    dominated by those pixels, training destabilized (loss spikes 28-480),
+    and the 50k-step teacher sampled pure noise. Capping h bounds the
+    per-pixel weight at exp(max_log) (=54.6 at the default 4.0) while
+    leaving the healthy regime (h ~ 0.02 mean) untouched. DOCUMENTED
+    DEVIATION from the reference; set max_log <= 0 for exact reference
+    semantics."""
+    if max_log and max_log > 0:
+        h = jnp.minimum(h, max_log)
+    return jnp.exp(-h)
 
 
 class GaussianDiffusion:
@@ -107,7 +130,8 @@ class GaussianDiffusion:
         b = labels.shape[0]
         # fn_y2cov emits the reference's flat [B, C*H*W] in CHW order; keep
         # that contract and transpose to NHWC.
-        cov = jnp.exp(-self.fn_y2cov(labels)).reshape(b, c.channels, c.image_size, c.image_size)
+        cov = hy_from_y2cov(self.fn_y2cov(labels), c.hy_max_log).reshape(
+            b, c.channels, c.image_size, c.image_size)
         return jnp.transpose(cov, (0, 2, 3, 1))
 
     # ------------------------------------------------------------- loss

@@ -42,6 +42,9 @@ def parse_opts_dmd(argv=None):
     p.add_argument("--train_timesteps", type=int, default=1000)
     p.add_argument("--beta_schedule", type=str, default="cosine")
     p.add_argument("--use_Hy", action="store_true", default=False)
+    p.add_argument("--hy_max_log", type=float, default=4.0,
+                   help="cap on the y2cov log-scale h in Hy=exp(-h); "
+                        "<=0 disables (exact reference semantics)")
     p.add_argument("--y2h_embed_type", type=str, default="sinusoidal",
                    choices=["resnet", "sinusoidal", "gaussian"])
     p.add_argument("--y2cov_embed_type", type=str, default="sinusoidal")
@@ -214,6 +217,7 @@ def main(argv=None):
         train_timesteps=args.train_timesteps,
         beta_schedule=args.beta_schedule,
         use_Hy=args.use_Hy,
+        hy_max_log=args.hy_max_log,
         kappa=None if args.kappa < 0 else args.kappa,
         kernel_sigma=None if args.kernel_sigma < 0 else args.kernel_sigma,
         z_dim=args.dim_z,

@@ -558,6 +558,15 @@ class LabelEmbed:
                        / max(float(jnp.linalg.norm(probe_cov[0])), 1e-8))
                 print(f" ILI y2cov label variation |c(0.1)-c(0.9)|/|c(0.1)| = {rel:.4f}"
                       + ("  (WARNING: ~constant in y)" if rel < 1e-3 else ""))
+                # log-scale diagnostic: Hy = exp(-h) divides the per-pixel
+                # loss, so a runaway h tail multiplies a pixel's loss by
+                # exp(h_max) — the round-4 teacher-collapse failure mode
+                # (capped downstream by DiffusionConfig.hy_max_log)
+                h_mean, h_max = float(probe_cov.mean()), float(probe_cov.max())
+                print(f" ILI y2cov log-scale h: mean {h_mean:.4f} max {h_max:.2f}"
+                      f"  (1/Hy mean {float(jnp.mean(jnp.exp(probe_cov))):.1f})"
+                      + ("  (WARNING: heavy tail; hy_max_log cap will engage)"
+                         if h_max > 4.0 else ""))
             else:
                 from ccdm_tpu.embedding.analytic import make_fn_y2cov
                 self.fn_y2cov = make_fn_y2cov(cov_dim, y2cov_type, label_dim)

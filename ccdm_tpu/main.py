@@ -196,6 +196,7 @@ def main(argv=None):
         ddim_sampling_eta=args.ddim_eta,
         cond_drop_prob=args.cond_drop_prob,
         use_Hy=args.use_Hy,
+        hy_max_log=args.hy_max_log,
         vicinity_type=args.vicinity_type,
         distance=args.distance,
         vector_type=args.vector_type,

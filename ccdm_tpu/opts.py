@@ -121,6 +121,9 @@ def parse_opts(argv=None):
     parser.add_argument("--y2cov_embed_type", type=str, default="sinusoidal",
                         choices=["resnet", "sinusoidal", "gaussian"])
     parser.add_argument("--use_Hy", action="store_true", default=False)
+    parser.add_argument("--hy_max_log", type=float, default=4.0,
+                        help="cap on the y2cov log-scale h in Hy=exp(-h); "
+                             "<=0 disables (exact reference semantics)")
     parser.add_argument("--net_embed", type=str, default="ResNet34_embed")
     parser.add_argument("--epoch_cnn_embed", type=int, default=200)
     parser.add_argument("--resumeepoch_cnn_embed", type=int, default=0)

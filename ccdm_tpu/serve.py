@@ -79,6 +79,7 @@ class SamplerService:
             sampling_timesteps=args.sample_timesteps,
             objective=args.pred_objective, beta_schedule=args.beta_schedule,
             use_Hy=args.use_Hy,
+            hy_max_log=getattr(args, "hy_max_log", 4.0),
         )
         diffusion = GaussianDiffusion(model.apply, dcfg, fn_y2cov=fn_y2cov)
         # serving needs no data: the Trainer is used purely as the EMA

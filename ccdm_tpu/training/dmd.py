@@ -66,6 +66,7 @@ class DMDConfig:
     train_timesteps: int = 1000
     beta_schedule: str = "cosine"
     use_Hy: bool = False
+    hy_max_log: float = 4.0  # cap on the y2cov log-scale; <=0 disables
     kappa: Optional[float] = None  # resolved radius; 0 disables vicinity
     kernel_sigma: Optional[float] = None
     z_dim: int = 256
@@ -157,8 +158,10 @@ class DMD2Trainer:
     # ----------------------------------------------------------- helpers
 
     def _convert_y_to_cov(self, labels: jax.Array) -> jax.Array:
+        from ccdm_tpu.diffusion.gaussian import hy_from_y2cov
+
         h, w, c = self.image_shape
-        cov = jnp.exp(-self.fn_y2cov(labels)).reshape(-1, c, h, w)
+        cov = hy_from_y2cov(self.fn_y2cov(labels), self.cfg.hy_max_log).reshape(-1, c, h, w)
         return jnp.transpose(cov, (0, 2, 3, 1))
 
     def _noise_like(self, key, labels, shape):

@@ -137,3 +137,39 @@ def test_loss_jits_cleanly(tiny):
     l1 = step(variables, key, imgs, labels, emb, jnp.ones((4,)))
     l2 = step(variables, key, imgs, labels, emb, jnp.ones((4,)))
     np.testing.assert_allclose(float(l1), float(l2))
+
+
+def test_hy_log_scale_cap(tiny):
+    """A runaway y2cov tail (the round-4 teacher-collapse failure: h_max 17
+    -> 1/Hy 3e7 at a few pixels) is bounded by hy_max_log; <=0 reproduces
+    exact reference semantics (diffusion.py:502-505, no bound)."""
+    from ccdm_tpu.diffusion.gaussian import hy_from_y2cov
+
+    model, variables = tiny
+    h = jnp.array([[0.02, 1.0, 17.0, 0.0]])
+    capped = hy_from_y2cov(h, 4.0)
+    raw = hy_from_y2cov(h, 0.0)
+    assert np.allclose(np.asarray(capped[0, :2]), np.exp([-0.02, -1.0]), rtol=1e-6)
+    assert float(capped[0, 2]) == pytest.approx(np.exp(-4.0))   # tail capped
+    assert float(raw[0, 2]) == pytest.approx(np.exp(-17.0))     # reference: unbounded
+
+    def heavy_tail_y2cov(labels):
+        b = labels.shape[0]
+        flat = jnp.full((b, NC * IMG * IMG), 0.02)
+        return flat.at[:, 0].set(17.0)  # one runaway pixel
+
+    key = jax.random.PRNGKey(11)
+    imgs = jax.random.uniform(key, (4, IMG, IMG, NC))
+    labels = jax.random.uniform(key, (4, 1))
+    emb = jax.random.normal(key, (4, 128))
+    losses = {}
+    for tag, cap in (("capped", 4.0), ("reference", 0.0)):
+        cfg = DiffusionConfig(image_size=IMG, channels=NC, timesteps=50,
+                              sampling_timesteps=5, use_Hy=True,
+                              vicinity_type="hv", hy_max_log=cap)
+        diff = GaussianDiffusion(model.apply, cfg, fn_y2cov=heavy_tail_y2cov)
+        loss, _ = diff.loss(variables, key, imgs, labels, emb, jnp.ones((4,)), kappa=0.2)
+        losses[tag] = float(loss)
+    # the single runaway pixel dominates the uncapped loss by ~exp(13)
+    assert losses["reference"] > 1e3 * losses["capped"]
+    assert np.isfinite(losses["capped"])
