@@ -360,6 +360,53 @@ def train_label_mlp(
     return {"params": params}
 
 
+def dataset_fingerprint(images_u8: np.ndarray, labels: np.ndarray) -> str:
+    """Short content hash of the data an embedding was fit on.
+
+    The embed cache tag (dim/epochs/seed) does NOT identify the training
+    data, so swapping the dataset under an existing setting folder silently
+    reuses embeddings fit to DIFFERENT images — the round-4 incident class
+    (a regenerated fixture + cached-tag reuse would have paired a y2cov of
+    one pool with a teacher trained on another). Mirrors the r3 eval-backbone
+    fingerprint pinning (eval/backbones.py)."""
+    import hashlib
+
+    imgs = np.ascontiguousarray(np.asarray(images_u8))
+    lab = np.ascontiguousarray(np.asarray(labels, np.float32))
+    h = hashlib.sha1()
+    h.update(np.asarray(imgs.shape, np.int64).tobytes())
+    h.update(lab.tobytes())
+    flat = imgs.reshape(len(imgs), -1)
+    h.update(np.ascontiguousarray(flat[:, :: max(1, flat.shape[1] // 64)]).tobytes())
+    return h.hexdigest()[:12]
+
+
+def _check_embed_datafp(embed_dir: str, tag: str, fp: Optional[str]) -> None:
+    """Compare a cached embedding's data fingerprint against the current
+    dataset's; hard-fail on mismatch, warn on legacy caches without one."""
+    marker = os.path.join(embed_dir, f"datafp-{tag}.txt")
+    if fp is None:
+        return  # load-only consumer without data (serve) — nothing to check
+    if not os.path.exists(marker):
+        print(f" ILI WARNING: cached embedding '{tag}' has no data "
+              f"fingerprint (pre-r4 cache); cannot verify it was fit on "
+              f"this dataset")
+        return
+    stored = open(marker).read().strip()
+    if stored != fp:
+        raise SystemExit(
+            f"cached embedding '{tag}' under {embed_dir} was fit on a "
+            f"DIFFERENT dataset (fingerprint {stored} != current {fp}). "
+            f"Delete {embed_dir} or use a fresh --root_path/--setting_name."
+        )
+
+
+def _write_embed_datafp(embed_dir: str, tag: str, fp: Optional[str]) -> None:
+    if fp is not None:
+        with open(os.path.join(embed_dir, f"datafp-{tag}.txt"), "w") as f:
+            f.write(fp + "\n")
+
+
 def find_cached_embedding(embed_dir: str, prefix: str, exact_tag: str) -> Optional[str]:
     """Cache discovery with a relaxed fallback: prefer the exact tag, else the
     most recent checkpoint with the same prefix+dim (so a consumer with
@@ -420,9 +467,11 @@ class LabelEmbed:
             labels = np.asarray(dataset.labels_norm, np.float32)
             label_dim = 1 if labels.ndim == 1 else labels.shape[1]
             uniq = np.unique(labels.reshape(len(labels), -1), axis=0)
+            data_fp = dataset_fingerprint(dataset.images, labels)
         else:
             label_dim = label_dim or 1
             uniq = None
+            data_fp = None
         noise_sigma = 0.2 if label_dim == 1 else 0.05
 
         # ---- y2h
@@ -434,6 +483,7 @@ class LabelEmbed:
         cached_tag = find_cached_embedding(embed_dir, f"y2h_d{dim_embed}", tag)
         resnet_vars = None  # only set on a fresh training run (not cache reload)
         if cached_tag is not None:
+            _check_embed_datafp(embed_dir, cached_tag, data_fp)
             stored = load_checkpoint(embed_dir, cached_tag)
             mlp_vars = stored["mlp"]
             if cached_tag != tag:
@@ -465,6 +515,7 @@ class LabelEmbed:
                     label_dim) if label_dim == 1 else None),
             )
             save_checkpoint(embed_dir, tag, {"mlp": jax.device_get(mlp_vars)})
+            _write_embed_datafp(embed_dir, tag, data_fp)
         mlp = ModelY2H(dim_embed)
         mlp_params = jax.device_put(mlp_vars)
 
@@ -517,6 +568,7 @@ class LabelEmbed:
             if y2cov_type == "resnet":
                 cached_cov = find_cached_embedding(embed_dir, f"y2cov_d{cov_dim}", tag_cov)
                 if cached_cov is not None:
+                    _check_embed_datafp(embed_dir, cached_cov, data_fp)
                     stored = load_checkpoint(embed_dir, cached_cov)
                     cov_vars = stored["mlp"]
                     if cached_cov != tag_cov:
@@ -547,6 +599,7 @@ class LabelEmbed:
                             cov_dim, label_dim) if label_dim == 1 else None),
                     )
                     save_checkpoint(embed_dir, tag_cov, {"mlp": jax.device_get(cov_vars)})
+                    _write_embed_datafp(embed_dir, tag_cov, data_fp)
                 cov_mlp = ModelY2Cov(cov_dim)
                 cov_params = jax.device_put(cov_vars)
                 self.fn_y2cov = lambda y: cov_mlp.apply(cov_params, jnp.asarray(y, jnp.float32).reshape(-1))

@@ -277,3 +277,24 @@ def test_label_mlp_feature_phase_rescues_small_kernel_head():
     # the feature phase restores a label-tracking embedding
     assert float(r_feat.max() - r_feat.min()) > 0.3
     assert float(np.corrcoef(labels, r_feat)[0, 1]) > 0.9
+
+
+@pytest.mark.slow
+def test_ili_cache_rejects_different_dataset(tmp_path):
+    """An embed cache fit on dataset A must not silently load for dataset B
+    (the cache tag carries dim/epochs/seed but not data identity — the
+    round-4 fixture-swap hazard). Fresh saves carry a data fingerprint;
+    a mismatch is a hard error naming the remedy."""
+    from ccdm_tpu.embedding.ili import LabelEmbed
+
+    ds_a = make_synthetic(n=64, image_size=16, channels=3, n_labels=8)
+    LabelEmbed(ds_a, str(tmp_path), dim_embed=16, epochs_cnn=1, epochs_mlp=1,
+               batch_size=32)
+    ds_b = make_synthetic(n=64, image_size=16, channels=3, n_labels=8, seed=9)
+    assert (np.asarray(ds_b.images) != np.asarray(ds_a.images)).any()
+    with pytest.raises(SystemExit, match="DIFFERENT dataset"):
+        LabelEmbed(ds_b, str(tmp_path), dim_embed=16, epochs_cnn=1,
+                   epochs_mlp=1, batch_size=32)
+    # same data still reloads fine
+    LabelEmbed(ds_a, str(tmp_path), dim_embed=16, epochs_cnn=1, epochs_mlp=1,
+               batch_size=32)
