@@ -418,7 +418,11 @@ def find_cached_embedding(embed_dir: str, prefix: str, exact_tag: str) -> Option
     import glob
 
     hits = glob.glob(os.path.join(embed_dir, f"model-{prefix}_*"))
-    hits = [h for h in hits if os.path.isdir(h)]
+    # in-train stage-1 resume checkpoints ("<tag>_cnn_epochN", written every
+    # epoch for --resumeepoch_cnn_embed*) hold only CNN state, no stage-2
+    # MLP — an interrupted pretrain must read as a cache MISS, not as the
+    # newest complete embedding
+    hits = [h for h in hits if os.path.isdir(h) and "_cnn_epoch" not in h]
     if not hits:
         return None
     newest = max(hits, key=os.path.getmtime)
@@ -483,8 +487,12 @@ class LabelEmbed:
         cached_tag = find_cached_embedding(embed_dir, f"y2h_d{dim_embed}", tag)
         resnet_vars = None  # only set on a fresh training run (not cache reload)
         if cached_tag is not None:
-            _check_embed_datafp(embed_dir, cached_tag, data_fp)
             stored = load_checkpoint(embed_dir, cached_tag)
+            if "mlp" not in stored:  # partial entry (interrupted pretrain)
+                print(f" ILI y2h: ignoring incomplete cache '{cached_tag}'")
+                cached_tag = None
+        if cached_tag is not None:
+            _check_embed_datafp(embed_dir, cached_tag, data_fp)
             mlp_vars = stored["mlp"]
             if cached_tag != tag:
                 print(f" ILI y2h: loaded cached '{cached_tag}' "
@@ -568,8 +576,12 @@ class LabelEmbed:
             if y2cov_type == "resnet":
                 cached_cov = find_cached_embedding(embed_dir, f"y2cov_d{cov_dim}", tag_cov)
                 if cached_cov is not None:
-                    _check_embed_datafp(embed_dir, cached_cov, data_fp)
                     stored = load_checkpoint(embed_dir, cached_cov)
+                    if "mlp" not in stored:  # partial entry (interrupted pretrain)
+                        print(f" ILI y2cov: ignoring incomplete cache '{cached_cov}'")
+                        cached_cov = None
+                if cached_cov is not None:
+                    _check_embed_datafp(embed_dir, cached_cov, data_fp)
                     cov_vars = stored["mlp"]
                     if cached_cov != tag_cov:
                         print(f" ILI y2cov: loaded cached '{cached_cov}'")

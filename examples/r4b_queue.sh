@@ -30,7 +30,7 @@ T0=$(date +%s)
 phase() { echo "[queue +$(( $(date +%s) - T0 ))s $(date +%T)] === $1 ==="; }
 done_marker() { echo "[queue +$(( $(date +%s) - T0 ))s] PHASE_$2: $1"; }
 
-NITERS=15000
+NITERS=10000
 TEACHER_ARGS=(--setting_name Setup_CCDM --root_path $R --data_name Cell200
     --data_path $DATA10K --eval_ckpt_path $R --seed 111
     --image_size 64 --min_label 1 --max_label 200 --num_channels 1

@@ -298,3 +298,35 @@ def test_ili_cache_rejects_different_dataset(tmp_path):
     # same data still reloads fine
     LabelEmbed(ds_a, str(tmp_path), dim_embed=16, epochs_cnn=1, epochs_mlp=1,
                batch_size=32)
+
+
+def test_partial_embed_cache_reads_as_miss(tmp_path):
+    """Round-4b regression (observed live on the Cell-200 teacher restart):
+    the embed-resume feature writes per-epoch stage-1 checkpoints
+    ("<tag>_cnn_epochN", CNN state only, no stage-2 "mlp"), and
+    find_cached_embedding's relaxed fallback picked one up as the newest
+    complete embedding -> KeyError('mlp') in every consumer after any
+    interrupted pretrain. In-train stage-1 checkpoints must be invisible to
+    cache discovery, and a partial full-tag entry must read as a miss."""
+    from ccdm_tpu.embedding.ili import LabelEmbed, find_cached_embedding
+    from ccdm_tpu.utils.ckpt import save_checkpoint
+
+    embed_dir = tmp_path / "embed_models"
+    embed_dir.mkdir()
+    # an in-train stage-1 resume checkpoint (what an interrupted run leaves)
+    save_checkpoint(str(embed_dir), "y2h_d16_e2_m2_seed2023_cnn_epoch1",
+                    {"epoch": 1})
+    assert find_cached_embedding(str(embed_dir), "y2h_d16",
+                                 "y2h_d16_e2_m2_seed2023") is None
+    # require_cached consumers (dmd_main, serve) get a clean miss, not a crash
+    with pytest.raises(FileNotFoundError):
+        LabelEmbed(None, str(tmp_path), dim_embed=16, require_cached=True)
+    # a full-tag entry that is nonetheless partial (no "mlp") also misses
+    save_checkpoint(str(embed_dir), "y2h_d16_e9_m9_seed2023", {"epoch": 9})
+    with pytest.raises(FileNotFoundError):
+        LabelEmbed(None, str(tmp_path), dim_embed=16, require_cached=True)
+    # and a fresh trainable LabelEmbed retrains through the partial entries
+    ds = make_synthetic(n=64, image_size=16, channels=3, n_labels=8)
+    le = LabelEmbed(ds, str(tmp_path), dim_embed=16, epochs_cnn=1,
+                    epochs_mlp=1, batch_size=32)
+    assert le.fn_y2h(jnp.asarray([0.5])).shape == (1, 16)
