@@ -407,13 +407,20 @@ def _write_embed_datafp(embed_dir: str, tag: str, fp: Optional[str]) -> None:
             f.write(fp + "\n")
 
 
-def find_cached_embedding(embed_dir: str, prefix: str, exact_tag: str) -> Optional[str]:
+def find_cached_embedding(embed_dir: str, prefix: str, exact_tag: str,
+                          exclude: Optional[set] = None) -> Optional[str]:
     """Cache discovery with a relaxed fallback: prefer the exact tag, else the
     most recent checkpoint with the same prefix+dim (so a consumer with
     different epoch/seed defaults — dmd_main, serve — still finds the
     teacher's trained embedding). Mirrors the reference's two-path-convention
-    probing (`label_embedding.py:384-435`)."""
-    if checkpoint_exists(embed_dir, exact_tag):
+    probing (`label_embedding.py:384-435`).
+
+    ``exclude`` lets the consumer retry discovery after finding that an entry
+    is partial (a full-tag checkpoint written by an interrupted pretrain that
+    lacks the stage-2 MLP): the next-newest complete entry is tried instead
+    of treating the whole cache as a miss."""
+    exclude = exclude or set()
+    if exact_tag not in exclude and checkpoint_exists(embed_dir, exact_tag):
         return exact_tag
     import glob
 
@@ -422,7 +429,8 @@ def find_cached_embedding(embed_dir: str, prefix: str, exact_tag: str) -> Option
     # epoch for --resumeepoch_cnn_embed*) hold only CNN state, no stage-2
     # MLP — an interrupted pretrain must read as a cache MISS, not as the
     # newest complete embedding
-    hits = [h for h in hits if os.path.isdir(h) and "_cnn_epoch" not in h]
+    hits = [h for h in hits if os.path.isdir(h) and "_cnn_epoch" not in h
+            and os.path.basename(h)[len("model-"):] not in exclude]
     if not hits:
         return None
     newest = max(hits, key=os.path.getmtime)
@@ -484,13 +492,18 @@ class LabelEmbed:
         # the cache tag; the default ResNet34 keeps the legacy tag format
         net_mark = "" if net_embed == "ResNet34_embed" else f"_{net_embed.split('_')[0]}"
         tag = f"y2h_d{dim_embed}_e{epochs_cnn}_m{epochs_mlp}_seed{seed}{net_mark}"
-        cached_tag = find_cached_embedding(embed_dir, f"y2h_d{dim_embed}", tag)
         resnet_vars = None  # only set on a fresh training run (not cache reload)
-        if cached_tag is not None:
+        cached_tag, partial = None, set()
+        while True:  # skip partial entries, newest-first, until complete
+            cached_tag = find_cached_embedding(
+                embed_dir, f"y2h_d{dim_embed}", tag, exclude=partial)
+            if cached_tag is None:
+                break
             stored = load_checkpoint(embed_dir, cached_tag)
-            if "mlp" not in stored:  # partial entry (interrupted pretrain)
-                print(f" ILI y2h: ignoring incomplete cache '{cached_tag}'")
-                cached_tag = None
+            if "mlp" in stored:
+                break
+            print(f" ILI y2h: ignoring incomplete cache '{cached_tag}'")
+            partial.add(cached_tag)
         if cached_tag is not None:
             _check_embed_datafp(embed_dir, cached_tag, data_fp)
             mlp_vars = stored["mlp"]
@@ -574,12 +587,17 @@ class LabelEmbed:
             tag_cov = (f"y2cov_d{cov_dim}_e{epochs_cnn_y2cov}"
                        f"_m{epochs_mlp_y2cov}_seed{seed}{cov_mark}")
             if y2cov_type == "resnet":
-                cached_cov = find_cached_embedding(embed_dir, f"y2cov_d{cov_dim}", tag_cov)
-                if cached_cov is not None:
+                cached_cov, partial_cov = None, set()
+                while True:  # skip partial entries, newest-first
+                    cached_cov = find_cached_embedding(
+                        embed_dir, f"y2cov_d{cov_dim}", tag_cov, exclude=partial_cov)
+                    if cached_cov is None:
+                        break
                     stored = load_checkpoint(embed_dir, cached_cov)
-                    if "mlp" not in stored:  # partial entry (interrupted pretrain)
-                        print(f" ILI y2cov: ignoring incomplete cache '{cached_cov}'")
-                        cached_cov = None
+                    if "mlp" in stored:
+                        break
+                    print(f" ILI y2cov: ignoring incomplete cache '{cached_cov}'")
+                    partial_cov.add(cached_cov)
                 if cached_cov is not None:
                     _check_embed_datafp(embed_dir, cached_cov, data_fp)
                     cov_vars = stored["mlp"]

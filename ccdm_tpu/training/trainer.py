@@ -337,6 +337,18 @@ class Trainer:
             except Exception:
                 pass
 
+        # Static regime context carried on every mfu-bearing log line so a
+        # small-model run's MFU can't masquerade as flagship train efficiency
+        # (a dim-32 Cell teacher legitimately sits ~14% MFU while the
+        # flagship audit shows 36% — the numbers measure different regimes).
+        _, h_img, w_img, c_img = (int(d) for d in self.train_images.shape)
+        regime = {
+            "model_mparams": round(sum(
+                x.size for x in jax.tree_util.tree_leaves(self.state.params)) / 1e6, 2),
+            "batch": cfg.train_batch_size * cfg.gradient_accumulate_every,
+            "img": f"{h_img}x{w_img}x{c_img}",
+        }
+
         base_key = jax.random.PRNGKey(cfg.seed)
         step = int(self.state.step)
         window_t0 = time.perf_counter()
@@ -367,6 +379,7 @@ class Trainer:
                 if flops_per_step and per_step > 0:
                     scalars["mfu_pct"] = round(
                         100.0 * flops_per_step / per_step / peak_flops, 2)
+                    scalars.update(regime)
                 logger.log_scalars(scalars)
                 if progress:
                     print(f"step {step}/{cfg.train_num_steps} loss {loss_val:.4f} ({per_step*1e3:.0f} ms)")

@@ -330,3 +330,20 @@ def test_partial_embed_cache_reads_as_miss(tmp_path):
     le = LabelEmbed(ds, str(tmp_path), dim_embed=16, epochs_cnn=1,
                     epochs_mlp=1, batch_size=32)
     assert le.fn_y2h(jnp.asarray([0.5])).shape == (1, 16)
+
+    # Advisor r4: a NEWER partial full-tag entry must not shadow an OLDER
+    # complete cache — discovery retries past partials instead of reporting
+    # a total miss (which made require_cached consumers raise despite a
+    # valid cached embedding sitting right there).
+    import os
+    import time
+
+    complete = [d for d in os.listdir(tmp_path / "embed_models")
+                if d.startswith("model-y2h") and "_cnn" not in d
+                and "e9_m9" not in d]
+    assert complete, "training above should have written a complete cache"
+    time.sleep(0.05)
+    save_checkpoint(str(embed_dir), "y2h_d16_e7_m7_seed2023", {"epoch": 7})
+    os.utime(embed_dir / "model-y2h_d16_e7_m7_seed2023")  # newest mtime
+    le2 = LabelEmbed(None, str(tmp_path), dim_embed=16, require_cached=True)
+    assert le2.fn_y2h(jnp.asarray([0.5])).shape == (1, 16)
