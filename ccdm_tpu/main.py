@@ -154,8 +154,12 @@ def main(argv=None):
                 np.loadtxt(pp, delimiter=",", skiprows=1))
     elif args.data_name == "synthetic_power":
         ds_kwargs.update(label_dim=args.label_dim, seed=args.seed)
+        if args.synthetic_n > 0:
+            ds_kwargs["n"] = args.synthetic_n
     else:  # synthetic
         ds_kwargs.update(channels=args.num_channels)
+        if args.synthetic_n > 0:
+            ds_kwargs["n"] = args.synthetic_n
     bundle = load_dataset(args.data_name, args.data_path, **ds_kwargs)
     print(f"\n {args.data_name}: {len(bundle.images)} train images, "
           f"{bundle.image_size}^2 x{bundle.channels}, label_dim={bundle.label_dim}")

@@ -69,6 +69,10 @@ def parse_opts(argv=None):
                         choices=["rule_of_thumb", "percentile"])
     parser.add_argument("--adaptive_slicing", action="store_true", default=False)
     parser.add_argument("--label_dim", type=int, default=1)
+    parser.add_argument("--synthetic_n", type=int, default=0,
+                        help="sample count for the synthetic/synthetic_power "
+                             "generators; 0 keeps each generator's default "
+                             "(test/CI sizing; no reference analogue)")
     parser.add_argument("--percentile", type=float, default=5.0)
     parser.add_argument("--num_projections", type=int, default=1)
     parser.add_argument("--dim_combination", type=str, default="mean",

@@ -18,7 +18,7 @@ import pytest
 from ccdm_tpu.data.datasets import load_dataset
 
 
-def test_synthetic_power_cli_end_to_end(tmp_path):
+def _run_power_cli(tmp_path, extra):
     from ccdm_tpu import main as cli
 
     cli.main([
@@ -32,7 +32,7 @@ def test_synthetic_power_cli_end_to_end(tmp_path):
         "--nfake_per_label", "3", "--samp_batch_size", "3",
         "--label_embed", "ccdm1", "--y2h_embed_type", "sinusoidal",
         "--kappa", "-2.0", "--dump_fake_data", "--eval_mode", "1",
-    ])
+    ] + extra)
     setting = os.path.join(str(tmp_path), "output", "synthetic_power_16", "Setup1")
     h5s = sorted(glob.glob(os.path.join(setting, "results", "fake_data_*",
                                         "label_*.h5")))
@@ -44,6 +44,23 @@ def test_synthetic_power_cli_end_to_end(tmp_path):
     # every row of one dump is the SAME label vector (tiled, not broadcast)
     np.testing.assert_array_equal(labs, np.tile(labs[:1], (3, 1)))
     assert imgs.shape[0] == 3 and imgs.dtype == np.uint8
+    return h5s
+
+
+def test_synthetic_power_cli_small(tmp_path):
+    """Default-lane e2e: identical CLI dispatch/dump semantics to the full
+    run below, but over a 12-row synthetic pool (12 unique label ROWS to
+    sample/dump instead of 256 — the full run's per-label loop alone was
+    ~400 s of the old default lane, VERDICT r4 weak #5)."""
+    _run_power_cli(tmp_path, ["--synthetic_n", "12"])
+
+
+@pytest.mark.slow
+def test_synthetic_power_cli_end_to_end(tmp_path):
+    """Full 256-label run (nightly lane; the small sibling above covers the
+    same path in the default lane)."""
+    h5s = _run_power_cli(tmp_path, [])
+    assert len(h5s) == 256
 
 
 def test_power_vector_loader_cli_dispatch(tmp_path):
