@@ -19,7 +19,11 @@ exactly the pattern of `bench_reference_cpu.py`.
 Identical reduced config (both stacks; canonical values from the reference
 script `CCDM_vanilla/Cell-200/.../CCDM/scripts/run_train.sh` except where
 the 1-core CPU budget forces the reduction):
-  niters 2000 (ref 20000), batch 16 (ref 128), lr 1e-4, T=1000, pred_x0,
+  niters 1200 (ref 20000; was 2000 in the r4 design — the first torch
+  attempt died at iter 214 when the session clock ran out, and at the
+  measured contended rate of 4.5-6.5 s/it on this 1-core box 2000 iters
+  cannot complete inside a session; BOTH stacks get the same 1200),
+  batch 16 (ref 128), lr 1e-4, T=1000, pred_x0,
   hard vicinity, sigma/kappa rule-of-thumb (-1), embed CNN 5 epochs
   (ref 200; one ResNet34 epoch costs ~9 min on the 1-core box, so the embed
   budget is the binding constraint — both stacks get the SAME 5), y2h 60
@@ -50,7 +54,7 @@ RUNS = os.path.join(REPO, "runs", "parity_cell200")
 DATA = os.path.join(REPO, "runs", "datasets_fixture")
 
 # ---- the identical config (see module docstring for ref provenance)
-NITERS = 2000
+NITERS = 1200
 BATCH = 16
 LR = "1e-4"
 EPOCH_CNN = 5
