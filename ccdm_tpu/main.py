@@ -234,6 +234,7 @@ def main(argv=None):
         y_visual=y_visual,
         cond_scale_visual=args.sample_cond_scale,
         sample_timesteps_visual=min(args.sample_timesteps, 250),
+        sample_precast_bf16=args.samp_precast_bf16,
         log_every=args.log_every,
         tb_log=args.tb_log,
         seed=args.seed,

@@ -163,6 +163,12 @@ def parse_opts(argv=None):
     parser.add_argument("--ddim_eta", type=float, default=0.0)
     parser.add_argument("--nfake_per_label", type=int, default=200)
     parser.add_argument("--samp_batch_size", type=int, default=100)
+    parser.add_argument("--samp_precast_bf16", action="store_true", default=False,
+                        help="sampling-only perf mode: cast f32 kernel "
+                             "leaves to bf16 once, outside the DDIM scan — "
+                             "halves weight HBM traffic per step at the "
+                             "cost of bf16 weight rounding in the fused "
+                             "blocks (training/state.precast_sampling_params)")
     parser.add_argument("--dump_fake_data", action="store_true", default=False,
                         help="persist per-label fake h5 dumps (ref "
                              "main.py:541; sampling runs either way)")

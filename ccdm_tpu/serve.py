@@ -89,7 +89,8 @@ class SamplerService:
         tcfg = TrainerConfig(data_name=args.data_name, train_batch_size=2,
                              train_num_steps=1, results_folder=args.results_folder,
                              sample_every=10**9, save_every=10**9,
-                             seed=args.seed)
+                             seed=args.seed,
+                             sample_precast_bf16=args.samp_precast_bf16)
         self.trainer = Trainer(diffusion, variables, dummy,
                                np.array([0.25, 0.75], np.float32), tcfg)
         self.loaded_milestone: Optional[int] = None

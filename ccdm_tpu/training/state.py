@@ -97,3 +97,27 @@ def online_variables(state: TrainState) -> dict:
     if state.batch_stats:
         v["batch_stats"] = state.batch_stats
     return v
+
+
+def precast_sampling_params(variables: dict) -> dict:
+    """Cast f32 KERNEL leaves (ndim >= 2) to bf16 ONCE, outside the
+    sampling scan.
+
+    Sampling perf mode (`--samp_precast_bf16`): each DDIM step then reads
+    2-byte weights from HBM instead of 4-byte ones. For flax Dense/Conv
+    under `--train_amp` this is exactly the bf16 cast the layer performs
+    at use anyway, hoisted out of the 250-step scan body. It is NOT fully
+    bit-identical: the fused Pallas blocks (resnet_block/attn_block)
+    consume raw kernels, so their weight operands drop from f32 to bf16 —
+    one bf16 rounding per matmul, the standard inference-precision trade.
+    1-D leaves (biases, norm scales) stay f32: they are a rounding error
+    of the weight bytes and flax norm affine math promotes to f32. The
+    train step keeps f32 masters — optax updates need them."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2
+        else x,
+        variables)

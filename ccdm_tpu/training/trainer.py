@@ -41,6 +41,7 @@ from ccdm_tpu.training.state import (
     ema_update,
     ema_variables,
     online_variables,
+    precast_sampling_params,
 )
 from ccdm_tpu.training.vicinity import (
     sample_target_labels,
@@ -92,6 +93,10 @@ class TrainerConfig:
     # base of the per-step PRNG stream (--seed; the reference seeds
     # torch/numpy globally at main.py:50-54)
     seed: int = 0
+    # sampling reads 2-byte weights per DDIM step instead of 4-byte ones
+    # (state.precast_sampling_params, --samp_precast_bf16): opt-in perf
+    # mode — bf16 weight rounding in the fused blocks, fewer HBM bytes
+    sample_precast_bf16: bool = False
 
 
 class Trainer:
@@ -395,8 +400,11 @@ class Trainer:
         cfg = self.config
         y = jnp.asarray(np.atleast_2d(np.asarray(cfg.y_visual, np.float32).T).T.reshape(len(cfg.y_visual), -1))
         emb = fn_y2h(y)
+        v = ema_variables(self.state)
+        if cfg.sample_precast_bf16:
+            v = precast_sampling_params(v)
         imgs = self.diffusion.ddim_sample(
-            ema_variables(self.state), jax.random.PRNGKey(step), emb, labels=y,
+            v, jax.random.PRNGKey(step), emb, labels=y,
             cond_scale=cfg.cond_scale_visual,
             sampling_timesteps=cfg.sample_timesteps_visual,
         )
@@ -433,6 +441,8 @@ class Trainer:
         batch_size = min(batch_size, nfake)
 
         variables = ema_variables(self.state) if use_ema else online_variables(self.state)
+        if self.config.sample_precast_bf16:
+            variables = precast_sampling_params(variables)
 
         # cond_scale is passed into the jitted sampler as a TRACED scalar, so
         # one compiled function serves every scale (a serving client sweeping

@@ -116,23 +116,32 @@ def sampler_setup(img, batch, steps, dim, mults, cond_scale, nc=3):
     return variables, sample, emb
 
 
+def _precast_bf16(variables):
+    """r5 sampler lever — see ccdm_tpu.training.state.precast_sampling_params."""
+    from ccdm_tpu.training.state import precast_sampling_params
+
+    return precast_sampling_params(variables)
+
+
 def audit_sampler(tag, img, batches, steps, dim, mults, cond_scale, reps=2):
     for b in batches:
         variables, sample, emb = sampler_setup(img, b, steps, dim, mults, cond_scale)
-        lowered = sample.lower(variables, jax.random.PRNGKey(1), emb)
-        compiled = lowered.compile()
-        flops, byts = cost(compiled)  # whole 250-step scan
-        fence(sample(variables, jax.random.PRNGKey(1), emb))
-        best = float("inf")
-        for r in range(reps):
-            t0 = time.perf_counter()
-            out = sample(variables, jax.random.PRNGKey(2 + r), emb)
-            fence(out)
-            best = min(best, time.perf_counter() - t0)
-        ms = best * 1e3
-        report(f"{tag} b={b} ({steps} steps)", ms, flops, byts, b)
-        print(f"    per-UNet-step: {ms/steps:.3f} ms "
-              f"(2B={2*b} forward)", flush=True)
+        for arm, v in (("f32-params", variables),
+                       ("bf16-precast", _precast_bf16(variables))):
+            lowered = sample.lower(v, jax.random.PRNGKey(1), emb)
+            compiled = lowered.compile()
+            flops, byts = cost(compiled)  # whole 250-step scan
+            fence(sample(v, jax.random.PRNGKey(1), emb))
+            best = float("inf")
+            for r in range(reps):
+                t0 = time.perf_counter()
+                out = sample(v, jax.random.PRNGKey(2 + r), emb)
+                fence(out)
+                best = min(best, time.perf_counter() - t0)
+            ms = best * 1e3
+            report(f"{tag} b={b} {arm} ({steps} steps)", ms, flops, byts, b)
+            print(f"    per-UNet-step: {ms/steps:.3f} ms "
+                  f"(2B={2*b} forward)", flush=True)
 
 
 def main():

@@ -190,6 +190,54 @@ def test_sample_given_labels(tmp_path):
     assert imgs.dtype == np.uint8
 
 
+def test_sample_precast_bf16_is_pure_bytes_optimization(tmp_path):
+    """`--samp_precast_bf16` (r5 sampler lever): one DDIM step without CFG
+    is a single forward pass, so the precast may differ from f32-weight
+    compute only by bf16 weight rounding inside the fused blocks — a few
+    uint8 counts, not a different image. (Multi-step CFG sampling on an
+    UNTRAINED net chaotically amplifies any rounding, so the bound is
+    asserted at the single-forward level where it is meaningful.)"""
+    from ccdm_tpu.training.state import precast_sampling_params
+
+    images, labels = synthetic_dataset()
+    model = Unet(dim=8, dim_mults=(1, 2), in_channels=NC, attn_heads=1,
+                 attn_dim_head=8, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, IMG, IMG, NC)),
+        jnp.zeros((2,), jnp.int32), jnp.zeros((2, 128)), None, train=False,
+    )
+    dcfg = DiffusionConfig(image_size=IMG, channels=NC, timesteps=50,
+                           sampling_timesteps=4, objective="pred_x0",
+                           vicinity_type="hv")
+    diffusion = GaussianDiffusion(model.apply, dcfg)
+    tcfg = TrainerConfig(data_name="synthetic", train_batch_size=16,
+                         train_num_steps=1, results_folder=str(tmp_path),
+                         vicinity_type="hv", sample_every=10**9,
+                         save_every=10**9, ema_update_after_step=0,
+                         ema_update_every=1)
+    trainer = Trainer(diffusion, variables, images, labels, tcfg)
+
+    ys = np.linspace(0.1, 0.9, 2).astype(np.float32)
+    a, _ = trainer.sample_given_labels(ys, make_fn_y2h(128), batch_size=2,
+                                       cond_scale=1.0, sample_timesteps=1)
+    trainer.config.sample_precast_bf16 = True
+    b, _ = trainer.sample_given_labels(ys, make_fn_y2h(128), batch_size=2,
+                                       cond_scale=1.0, sample_timesteps=1)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 8
+
+    # only f32 KERNEL leaves are cast; 1-D f32 (norm scales/biases),
+    # ints and bf16 leaves pass through untouched
+    cast = precast_sampling_params(
+        {"params": {"w": jnp.ones((2, 2), jnp.float32),
+                    "s": jnp.ones((2,), jnp.float32),
+                    "n": jnp.ones((2,), jnp.int32),
+                    "h": jnp.ones((2, 2), jnp.bfloat16)}})
+    assert cast["params"]["w"].dtype == jnp.bfloat16
+    assert cast["params"]["s"].dtype == jnp.float32
+    assert cast["params"]["n"].dtype == jnp.int32
+    assert cast["params"]["h"].dtype == jnp.bfloat16
+
+
 @pytest.mark.slow
 def test_rng_streams_batch_vs_loss_distinct(tmp_path, monkeypatch):
     """Regression (round-1 VERDICT): loss_fn must pass DISTINCT keys to
