@@ -144,6 +144,9 @@ class Trainer:
         self.unique_labels = jax.device_put(
             np.unique(labels2d, axis=0).astype(np.float32), rep
         )
+        # the bank tuple threaded into the jitted train step as arguments
+        # (NOT closure constants — see _build_train_step)
+        self._data = (self.train_images, self.train_labels, self.unique_labels)
 
         # optimizer + state
         self.tx = optax.chain(
@@ -166,16 +169,27 @@ class Trainer:
 
     # ------------------------------------------------------------ batching
 
-    def _make_batch(self, key: jax.Array, fn_y2h: Callable):
+    def _make_batch(self, key: jax.Array, fn_y2h: Callable, data=None):
         """Device-side vicinity batch: returns (images01, cond_labels,
-        loss_labels, labels_emb, vicinal_weights_or_None)."""
+        loss_labels, labels_emb, vicinal_weights_or_None).
+
+        `data` is the (images, labels, unique_labels) bank as TRACED jit
+        arguments. When None (direct callers, tiny fixtures) the self.*
+        device arrays are closed over instead — but the jitted train step
+        always threads `data` explicitly: closure-captured banks are
+        embedded as HLO constants, and on relayed-TPU setups the compile
+        RPC body then carries the whole dataset (SteeringAngle-64's 123 MB
+        bank overflowed the relay's request limit with HTTP 413)."""
         cfg = self.config
         b = cfg.train_batch_size
+        images_bank, labels_bank, uniq_bank = (
+            data if data is not None
+            else (self.train_images, self.train_labels, self.unique_labels))
         k_target, k_select, k_aug = jax.random.split(key, 3)
 
         if cfg.vicinity_type == "none":
-            idx = jax.random.randint(k_select, (b,), 0, self.train_labels.shape[0])
-            targets = self.train_labels[idx]
+            idx = jax.random.randint(k_select, (b,), 0, labels_bank.shape[0])
+            targets = labels_bank[idx]
             weights = None
         else:
             sigma, kappa = self.sigma_delta, self.kappa
@@ -183,8 +197,8 @@ class Trainer:
                 # per-batch rule-of-thumb (ref trainer.py:254-278): sigma from
                 # the drawn base labels' std, kappa = MIN pairwise distance
                 k_pick, k_target = jax.random.split(k_target)
-                base_idx = jax.random.randint(k_pick, (b,), 0, self.unique_labels.shape[0])
-                base = self.unique_labels[base_idx]
+                base_idx = jax.random.randint(k_pick, (b,), 0, uniq_bank.shape[0])
+                base = uniq_bank[base_idx]
                 sigma = 1.06 * jnp.std(base, axis=0) * (b ** (-1.0 / 5.0))
                 from ccdm_tpu.ops.vicinal import pairwise_distance as _pd
 
@@ -193,19 +207,19 @@ class Trainer:
                 kappa = jnp.maximum(jnp.min(d), 1e-3)
                 targets = base + jax.random.normal(k_target, base.shape) * sigma
             else:
-                targets = sample_target_labels(k_target, self.unique_labels, b, self.sigma_delta)
+                targets = sample_target_labels(k_target, uniq_bank, b, self.sigma_delta)
             if cfg.vicinity_type in ("shv", "ssv"):
                 idx = select_vicinity_indices_sliced(
-                    k_select, targets, self.train_labels, kappa,
+                    k_select, targets, labels_bank, kappa,
                     cfg.vector_type, cfg.num_projections,
                 )
                 weights = jnp.ones((b,), jnp.float32)
             else:
                 idx = select_vicinity_indices(
-                    k_select, targets, self.train_labels, kappa,
+                    k_select, targets, labels_bank, kappa,
                     cfg.vicinity_type, cfg.distance, cfg.nonzero_soft_weight_threshold,
                 )
-                real = self.train_labels[idx]
+                real = labels_bank[idx]
                 if cfg.vicinal_mode == "target":
                     if cfg.vicinity_type == "hv":
                         weights = hard_weights_from_targets(real, targets, kappa, cfg.distance)
@@ -220,8 +234,8 @@ class Trainer:
         # grad all-reduce over ICI. Without this every chip would compute the
         # identical full batch (the indices come from a replicated key).
         idx = constrain_batch(self.mesh, idx)
-        real_labels = self.train_labels[idx]
-        imgs_u8 = self.train_images[idx]
+        real_labels = labels_bank[idx]
+        imgs_u8 = images_bank[idx]
         imgs_u8 = augment_for_dataset(cfg.data_name, k_aug, imgs_u8)
         images01 = normalize_images(imgs_u8, to_neg_one_to_one=False)
 
@@ -249,12 +263,12 @@ class Trainer:
             info["current_step"] = step
             return info
 
-        def loss_fn(params, batch_stats, key, step):
+        def loss_fn(params, batch_stats, key, step, data):
             # distinct streams: with threefry, split(key,3) == split(key,6)[:3],
             # so reusing `key` for both the batch draw and the loss would make
             # the CFG drop mask overlap the vicinity-selection uniforms.
             k_batch, k_loss = jax.random.split(key)
-            images01, cond_labels, loss_labels, labels_emb, weights, kappa = self._make_batch(k_batch, fn_y2h)
+            images01, cond_labels, loss_labels, labels_emb, weights, kappa = self._make_batch(k_batch, fn_y2h, data)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
@@ -267,9 +281,9 @@ class Trainer:
 
         # vanilla "target" mode: the trainer-computed per-sample weights are
         # applied directly (no intra-batch pairwise weighting).
-        def loss_fn_target(params, batch_stats, key, step):
+        def loss_fn_target(params, batch_stats, key, step, data):
             k_batch, k_loss = jax.random.split(key)
-            images01, cond_labels, loss_labels, labels_emb, weights, kappa = self._make_batch(k_batch, fn_y2h)
+            images01, cond_labels, loss_labels, labels_emb, weights, kappa = self._make_batch(k_batch, fn_y2h, data)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
@@ -283,12 +297,12 @@ class Trainer:
         grad_fn = jax.value_and_grad(pick_loss, has_aux=True)
         acc = cfg.gradient_accumulate_every
 
-        def train_step(state: TrainState, key: jax.Array):
+        def train_step(state: TrainState, key: jax.Array, data):
             keys = jax.random.split(key, acc)
 
             def micro(carry, k):
                 grads_acc, loss_acc, stats = carry
-                (loss, updates), grads = grad_fn(state.params, stats, k, state.step)
+                (loss, updates), grads = grad_fn(state.params, stats, k, state.step, data)
                 new_stats = updates.get("batch_stats", stats)
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 return (grads_acc, loss_acc + loss, new_stats), None
@@ -310,7 +324,18 @@ class Trainer:
             state = ema_update(state, self.ema_cfg)
             return state, total_loss / acc
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        # The (images, labels, unique_labels) bank rides as jit ARGUMENTS:
+        # closed-over device arrays are lowered as HLO constants, and on a
+        # relayed TPU the serialized compile request then contains the whole
+        # dataset (SA-64's 123 MB bank -> HTTP 413 from the compile RPC).
+        # The public step keeps its (state, key) signature via this wrapper.
+        jitted = jax.jit(train_step, donate_argnums=(0,))
+
+        def step(state: TrainState, key: jax.Array):
+            return jitted(state, key, self._data)
+
+        step.lower = lambda state, key: jitted.lower(state, key, self._data)
+        return step
 
     # ---------------------------------------------------------------- train
 
@@ -338,7 +363,8 @@ class Trainer:
                 ca = ca[0] if isinstance(ca, (list, tuple)) else ca
                 if ca:
                     flops_per_step = float(ca.get("flops", 0.0)) or None
-                self._train_step = compiled
+                # the executable takes (state, key, data) — rebind the bank
+                self._train_step = lambda s, k: compiled(s, k, self._data)
             except Exception:
                 pass
 

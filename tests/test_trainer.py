@@ -190,6 +190,42 @@ def test_sample_given_labels(tmp_path):
     assert imgs.dtype == np.uint8
 
 
+def test_train_step_does_not_embed_dataset_as_constant(tmp_path):
+    """Regression (r5 SA-64 incident): the jitted train step must take the
+    (images, labels, uniques) bank as ARGUMENTS. Closure-captured device
+    arrays lower as HLO constants, and on relayed-TPU setups the compile
+    RPC then ships the whole dataset (SteeringAngle's 123 MB bank ->
+    HTTP 413). Proxy assertion: with an 8 MB bank and a tiny model, the
+    lowered HLO text must stay far below the bank size — an embedded
+    constant would dominate it."""
+    rng = np.random.default_rng(0)
+    n = 2048  # 2048 x 32x32x4 u8 = 8 MB
+    labels = rng.uniform(0.05, 0.95, n).astype(np.float32)
+    images = rng.integers(2, 255, (n, 32, 32, 4), dtype=np.uint8)
+    model = Unet(dim=8, dim_mults=(1, 2), in_channels=4, attn_heads=1,
+                 attn_dim_head=8)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 4)),
+        jnp.zeros((2,), jnp.int32), jnp.zeros((2, 128)), None, train=False,
+    )
+    dcfg = DiffusionConfig(image_size=32, channels=4, timesteps=50,
+                           objective="pred_x0", vicinity_type="hv")
+    diffusion = GaussianDiffusion(model.apply, dcfg)
+    tcfg = TrainerConfig(data_name="synthetic", train_batch_size=8,
+                         train_num_steps=1, results_folder=str(tmp_path),
+                         vicinity_type="hv", sample_every=10**9,
+                         save_every=10**9)
+    trainer = Trainer(diffusion, variables, images, labels, tcfg)
+    step_fn = trainer._build_train_step(make_fn_y2h(128))
+    txt = step_fn.lower(trainer.state, jax.random.PRNGKey(1)).as_text()
+    bank_bytes = images.nbytes
+    assert len(txt) < bank_bytes // 2, \
+        f"HLO text {len(txt)}B vs bank {bank_bytes}B — dataset embedded?"
+    # and the bank arrives as a u8 parameter of the entry computation
+    # (StableHLO/MLIR prints tensor<...xui8>, classic HLO u8[...])
+    assert "2048x32x32x4xui8" in txt or "u8[2048,32,32,4]" in txt
+
+
 def test_sample_precast_bf16_is_pure_bytes_optimization(tmp_path):
     """`--samp_precast_bf16` (r5 sampler lever): one DDIM step without CFG
     is a single forward pass, so the precast may differ from f32-weight
@@ -249,9 +285,9 @@ def test_rng_streams_batch_vs_loss_distinct(tmp_path, monkeypatch):
     orig_batch = trainer._make_batch
     orig_loss = trainer.diffusion.loss
 
-    def spy_batch(key, fn_y2h):
+    def spy_batch(key, fn_y2h, *a, **kw):
         seen["batch"] = key
-        return orig_batch(key, fn_y2h)
+        return orig_batch(key, fn_y2h, *a, **kw)
 
     def spy_loss(variables, key, *a, **kw):
         seen["loss"] = key
