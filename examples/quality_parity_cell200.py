@@ -219,7 +219,7 @@ def phase_score() -> None:
         "--comp_niqe", "--epochs_eval_ae", "10", "--epochs_eval_cnn", "20",
     ])
     bundle = load_dataset("Cell200", DATA, image_size=64, min_label=1,
-                          max_label=200, eval_mode=2)
+                          max_label=200)
 
     with h5py.File(os.path.join(RUNS, "torch_fakes.h5"), "r") as f:
         torch_fakes = f["fake_images"][:]
