@@ -198,7 +198,10 @@ class CcGANTrainer:
         cfg = self.cfg
         radius = self._fake_label_radius()
 
-        def draw_common(key):
+        def draw_common(key, images_bank):
+            # images_bank is a traced jit argument — a closure-captured bank
+            # lowers as an HLO constant and overflows the relayed compile
+            # RPC at SA-64 size (see Trainer._make_batch)
             k_t, k_sel, k_fl, k_aug = jax.random.split(key, 4)
             targets = sample_target_labels(k_t, self.unique_labels, cfg.batch_size_disc, self.kernel_sigma)
             idx = select_vicinity_indices(
@@ -207,7 +210,7 @@ class CcGANTrainer:
             )
             real_labels = self.train_labels[idx]
             real = normalize_images(
-                augment_for_dataset(cfg.data_name, k_aug, self.train_images[idx]),
+                augment_for_dataset(cfg.data_name, k_aug, images_bank[idx]),
                 to_neg_one_to_one=True,
             )
             lb = jnp.clip(targets - radius, 0.0, 1.0)
@@ -215,9 +218,9 @@ class CcGANTrainer:
             fake_labels = lb + jax.random.uniform(k_fl, targets.shape) * (ub - lb)
             return constrain_batch(self.mesh, targets, real, real_labels, fake_labels)
 
-        def d_step(state, key, use_nda):
+        def d_step(state, key, use_nda, images_bank):
             keys = jax.random.split(key, 8)
-            targets, real, real_labels, fake_labels = draw_common(keys[0])
+            targets, real, real_labels, fake_labels = draw_common(keys[0], images_bank)
             target_emb = self.fn_y2h(targets.reshape(-1))
             z = constrain_batch(
                 self.mesh, jax.random.normal(keys[1], (cfg.batch_size_disc, cfg.dim_gan))
@@ -260,7 +263,7 @@ class CcGANTrainer:
                     dist = pairwise_distance(targets, self.train_labels)
                     mask_out = dist > self.kappa
                     idx_w = _masked_uniform_choice(keys[5], mask_out)
-                    wrong = normalize_images(self.train_images[idx_w], to_neg_one_to_one=True)
+                    wrong = normalize_images(images_bank[idx_w], to_neg_one_to_one=True)
                     out_c, stats = self._d_apply(d_params, stats, maybe_aug(keys[5], wrong), target_emb, True)
                     loss = loss + cfg.nda_c * jnp.mean(self._neg_loss(out_c))
                 if use_nda and cfg.nda_d > 0 and self.badfake_niqe is not None:
@@ -313,9 +316,11 @@ class CcGANTrainer:
             state["g_opt"] = g_opt
             return state, loss
 
+        jit_d = jax.jit(lambda s, k, bank: d_step(s, k, False, bank), donate_argnums=(0,))
+        jit_d_nda = jax.jit(lambda s, k, bank: d_step(s, k, True, bank), donate_argnums=(0,))
         return (
-            jax.jit(lambda s, k: d_step(s, k, False), donate_argnums=(0,)),
-            jax.jit(lambda s, k: d_step(s, k, True), donate_argnums=(0,)),
+            lambda s, k: jit_d(s, k, self.train_images),
+            lambda s, k: jit_d_nda(s, k, self.train_images),
             jax.jit(g_step, donate_argnums=(0,)),
         )
 

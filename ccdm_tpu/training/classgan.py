@@ -236,10 +236,13 @@ class ClassGANTrainer:
         maybe_aug = ((lambda k, v: diff_augment(k, v, cfg.policy))
                      if cfg.use_DiffAugment else (lambda k, v: v))
 
-        def d_step(state, key):
+        def d_step(state, key, images_bank):
+            # images_bank rides as a traced jit argument — a closure-captured
+            # bank lowers as an HLO constant and overflows the relayed
+            # compile RPC at SA-64 size (see Trainer._make_batch)
             k_idx, k_cf, k_z, k_a1, k_a2 = jax.random.split(key, 5)
             idx = jax.random.randint(k_idx, (cfg.batch_size,), 0, self.n)
-            real = normalize_images(self.train_images[idx], to_neg_one_to_one=True)
+            real = normalize_images(images_bank[idx], to_neg_one_to_one=True)
             cls_real = self.train_classes[idx]
             cls_fake = jax.random.randint(k_cf, (cfg.batch_size,), 0, cfg.num_classes)
             real, cls_real, cls_fake = constrain_batch(self.mesh, real, cls_real, cls_fake)
@@ -303,7 +306,8 @@ class ClassGANTrainer:
             state["g_opt"] = g_opt
             return state, loss
 
-        return (jax.jit(d_step, donate_argnums=(0,)),
+        jit_d = jax.jit(d_step, donate_argnums=(0,))
+        return (lambda s, k: jit_d(s, k, self.train_images),
                 jax.jit(g_step, donate_argnums=(0,)))
 
     # -------------------------------------------------------------- train

@@ -267,15 +267,20 @@ class DMD2Trainer:
             self.mesh, sample_target_labels(key, self.unique_labels, b, self.kernel_sigma)
         )
 
-    def _draw_real_batch(self, key, targets):
+    def _draw_real_batch(self, key, targets, images_bank=None):
+        """`images_bank` rides as a traced jit argument from d_step — a
+        closure-captured bank lowers as an HLO constant and overflows the
+        relayed compile RPC at SA-64 size (see Trainer._make_batch)."""
         cfg = self.cfg
+        if images_bank is None:
+            images_bank = self.train_images
         k_sel, k_aug = jax.random.split(key)
         if self.kappa == 0:
             idx = jax.random.randint(k_sel, (cfg.train_batch_size,), 0, self.train_labels.shape[0])
         else:
             idx = select_vicinity_indices(k_sel, targets, self.train_labels, self.kappa, "hv")
         idx = constrain_batch(self.mesh, idx)
-        imgs = augment_for_dataset(cfg.data_name, k_aug, self.train_images[idx])
+        imgs = augment_for_dataset(cfg.data_name, k_aug, images_bank[idx])
         return normalize_images(imgs, to_neg_one_to_one=True)  # D works in [-1,1] (dmd.py:769)
 
     def _draw_fake_labels(self, key, targets):
@@ -320,10 +325,10 @@ class DMD2Trainer:
             state["gen_opt"] = gen_opt
             return state, (loss, dm, adv)
 
-        def d_step(state, key):
+        def d_step(state, key, images_bank):
             k_lbl, k_fl, k_real, k_z, k_advr, k_advf, k_dn = jax.random.split(key, 7)
             targets = self._draw_target_labels(k_lbl)
-            real = self._draw_real_batch(k_real, targets)
+            real = self._draw_real_batch(k_real, targets, images_bank)
             fake_labels = self._draw_fake_labels(k_fl, targets)
             z = constrain_batch(
                 self.mesh, jax.random.normal(k_z, (cfg.train_batch_size, cfg.z_dim))
@@ -361,7 +366,12 @@ class DMD2Trainer:
             state["gui_opt"] = gui_opt
             return state, (loss, dn, adv)
 
-        return jax.jit(g_step, donate_argnums=(0,)), jax.jit(d_step, donate_argnums=(0,))
+        jitted_d = jax.jit(d_step, donate_argnums=(0,))
+
+        def d_step_bound(state, key):
+            return jitted_d(state, key, self.train_images)
+
+        return jax.jit(g_step, donate_argnums=(0,)), d_step_bound
 
     # -------------------------------------------------------------- train
 
