@@ -230,14 +230,25 @@ def phase_score() -> None:
 
     jax_fakes, jax_labels = _load_jax_fakes()
 
+    import json
+
     results = {}
     for name, fk, fl, tt in (("torch", torch_fakes, torch_labels, torch_time),
                              ("jax", jax_fakes, jax_labels, 0.0)):
         folder = os.path.join(RUNS, f"score_{name}")
         os.makedirs(folder, exist_ok=True)
+        cache = os.path.join(RUNS, f"score_{name}.json")
+        if os.path.exists(cache):  # resume: column already scored
+            with open(cache) as f:
+                results[name] = json.load(f)
+            print(f"[parity score] {name}: cached column loaded")
+            continue
         print(f"[parity score] scoring {name}: {fk.shape}")
         results[name] = run_ccgm_eval(args, bundle, fk, fl.astype(np.float32),
                                       folder, total_time=tt)
+        with open(cache, "w") as f:  # survive a session death per-column
+            json.dump({k: v for k, v in results[name].items()
+                       if isinstance(v, (int, float, str))}, f)
 
     lines = ["# Torch-vs-JAX quality parity — Cell-200 fixture, identical reduced config",
              "",
