@@ -216,11 +216,7 @@ def phase_score() -> None:
         "--min_label", "1", "--max_label", "200", "--num_channels", "1",
         "--niters", str(NITERS),
         "--comp_FID", "--eval_mode", "2", "--comp_prdc", "--comp_intra_fid",
-        # backbone budget cut for the 1-core CPU fallback (wedged-relay
-        # incident): ResNet34 is ~25 s/step on this host, so the TPU-default
-        # 10/20 epochs are ~5 h of backbone training. Both columns share
-        # whatever backbone this trains — the comparison stays controlled.
-        "--comp_niqe", "--epochs_eval_ae", "3", "--epochs_eval_cnn", "5",
+        "--comp_niqe", "--epochs_eval_ae", "10", "--epochs_eval_cnn", "20",
     ])
     bundle = load_dataset("Cell200", DATA, image_size=64, min_label=1,
                           max_label=200)
